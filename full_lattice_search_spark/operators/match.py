@@ -1,0 +1,384 @@
+"""``match_lattice`` — ordered span matching + probabilistic payload scoring.
+
+Re-expresses the reference's Lucene query stack (SpanNearQuery wrapped in
+LatticePayloadScoreQuery; ``index/query/MatchLatticeQueryBuilder.java:263-347``
+and ``index/query/LatticePayloadScoreQuery.java:52-343``) as two Spark plans:
+
+1. **Document-scan path** (`match_lattice`): one ``mapInPandas`` over the
+   interleaved documents table — tokenize + match + score inside a single
+   Arrow batch.  A JVM-side substring prefilter keeps non-candidate documents
+   out of Python entirely, so at 100 TB the scan stays a parallel
+   filter→project with **zero shuffles**; the only exchange is the final
+   top-k (`TakeOrderedAndProject`, per-partition k then merge — the same
+   physical shape as ES per-shard top-k + coordinator merge).
+
+2. **Token-table path** (`match_lattice_tokens`): for a pre-materialized
+   token table (our "inverted index"), filter ``token IN terms`` — pushed to
+   the parquet/Iceberg scan — then one shuffle to group candidate docs and
+   ``applyInPandas`` the span DP.  Bucketing the token table by ``doc_id``
+   removes even that shuffle.
+
+Span-matching semantics replicate Lucene's ``NearSpansOrdered``: subspan
+iterators only move forward; for each occurrence of the first term the later
+terms stretch greedily to the earliest in-order positions, and the match is
+emitted iff the accumulated gap ``start_n - end_1 - …`` is within slop.  For
+unit-width terms the gap telescopes to ``p_k - p_1 - (k-1)``, which makes the
+whole enumeration a chain of ``np.searchsorted`` calls — fully vectorized
+across match candidates.
+
+Scoring replicates the payload algebra (``SumLatticePayloadFunction.java``
+and siblings) including the order-dependent per-step clamp of the log fold
+and the float32 constants (MIN_SCORE=10e-7f, SCORE_MULT=log(10e4)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from full_lattice_search_spark.config import (
+    MIN_LOG_SCORE,
+    MIN_SCORE,
+    NULL_PAYLOAD_SCORE,
+    SCORE_MULT,
+    LatticeConfig,
+    MatchLatticeParams,
+)
+from full_lattice_search_spark.functions.tokenizer import (
+    text_values_col,
+    tokenize_pandas,
+)
+from full_lattice_search_spark.schema import HITS_SCHEMA
+
+
+def analyze_query(query: str, config: LatticeConfig) -> list[str]:
+    """Run the search analyzer over the query text (whitespace + lowercase,
+    same chain as indexing).  Rejects graph queries — query tokens that land
+    at the same position (posInc 0), mirroring
+    ``MatchLatticeQueryBuilder.java:312-314``."""
+    toks = tokenize_pandas(
+        pd.Series(["q"]), pd.Series([[query]]), config
+    )
+    if len(toks) == 0:
+        return []
+    if (toks["pos_inc"].to_numpy() == 0).any():
+        raise ValueError("graph queries are not supported")
+    return list(toks["token"])
+
+
+# ---------------------------------------------------------------------------
+# Per-document span DP (numpy)
+# ---------------------------------------------------------------------------
+
+
+def _ordered_matches(
+    plists: list[tuple[np.ndarray, np.ndarray]], slop: int
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Lucene NearSpansOrdered enumeration over unit-width terms.
+
+    ``plists[i] = (positions, payload_scores)`` for query term i, sorted by
+    position (duplicates kept — score-bucket duplicates are real postings).
+
+    Returns ``(span_start, span_end_exclusive, per_term_scores)`` for every
+    enumerated match, vectorized over occurrences of the first term.
+    """
+    p1, s1 = plists[0]
+    k = len(plists)
+    if k == 1:
+        return p1, p1 + 1, [s1]
+    starts = p1
+    valid = np.ones(len(p1), dtype=bool)
+    target = p1 + 1  # next subspan must start at/after previous end
+    term_scores = [s1]
+    last = p1
+    for pos_i, score_i in plists[1:]:
+        idx = np.searchsorted(pos_i, target, side="left")
+        ok = idx < len(pos_i)
+        idx_c = np.minimum(idx, max(len(pos_i) - 1, 0))
+        m = pos_i[idx_c]
+        sc = score_i[idx_c]
+        valid &= ok
+        term_scores.append(sc)
+        last = m
+        target = m + 1
+    gap = last - starts - (k - 1)
+    matched = valid & (gap <= slop)
+    return (
+        starts[matched],
+        last[matched] + 1,
+        [s[matched] for s in term_scores],
+    )
+
+
+def _unordered_matches(
+    plists: list[tuple[np.ndarray, np.ndarray]], slop: int
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """NearSpansUnordered analog: enumerate candidate windows by advancing
+    the minimum-start term pointer (heap-free k-way walk); match when the
+    covering window satisfies ``(max_end - min_start) - k <= slop``.
+    Slow path (python loop over candidate windows) — only in_order=False
+    queries take it, and only over prefiltered candidate docs."""
+    k = len(plists)
+    if k == 1:
+        p1, s1 = plists[0]
+        return p1, p1 + 1, [s1]
+    ptrs = [0] * k
+    lens = [len(p) for p, _ in plists]
+    starts_out, ends_out = [], []
+    scores_out: list[list[float]] = [[] for _ in range(k)]
+    while all(ptrs[i] < lens[i] for i in range(k)):
+        cur = [plists[i][0][ptrs[i]] for i in range(k)]
+        lo = min(cur)
+        hi = max(cur)
+        if (hi + 1 - lo) - k <= slop:
+            starts_out.append(lo)
+            ends_out.append(hi + 1)
+            for i in range(k):
+                scores_out[i].append(plists[i][1][ptrs[i]])
+        i_min = int(np.argmin(cur))
+        ptrs[i_min] += 1
+    return (
+        np.asarray(starts_out, dtype=np.int64),
+        np.asarray(ends_out, dtype=np.int64),
+        [np.asarray(s, dtype=np.float32) for s in scores_out],
+    )
+
+
+def _fold_leaf_scores(
+    term_scores: list[np.ndarray], dtype: type
+) -> np.ndarray:
+    """A2: per-span payload fold ``acc = max(acc + log(payload), MIN_LOG)``,
+    clamped at *every step* (order-dependent — do NOT sum-then-clamp;
+    SumLatticePayloadFunction.java:44-49).  Null payloads decode to 1e-5
+    (FloatDecoder.java:24-44)."""
+    n = len(term_scores[0]) if term_scores else 0
+    acc = np.zeros(n, dtype=dtype)
+    min_log = dtype(MIN_LOG_SCORE)
+    for s in term_scores:
+        s = s.astype(dtype)
+        s = np.where(np.isnan(s), dtype(NULL_PAYLOAD_SCORE), s)
+        acc = np.maximum(acc + np.log(s), min_log)
+    return acc
+
+
+def _span_scores(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    leaf: np.ndarray,
+    len_norm: float,
+    dtype: type,
+) -> np.ndarray:
+    """A3: ``exp(SCORE_MULT + leaf - log((end-start) * lenNorm))``;
+    lenNorm == 0 disables length normalization
+    (SumLatticePayloadFunction.java:30-41)."""
+    base = dtype(SCORE_MULT) + leaf
+    if len_norm != 0.0:
+        width = (ends - starts).astype(dtype)
+        base = base - np.log(width * dtype(len_norm))
+    return np.exp(base)
+
+
+def _doc_score(span_scores: np.ndarray, payload_function: str, dtype: type) -> float:
+    """A3-A6: combine span scores into the doc score; zero spans → MIN_SCORE
+    (guarded by the caller); negative → 0 (A8)."""
+    if len(span_scores) == 0:
+        return float(MIN_SCORE)
+    if payload_function == "sum":
+        out = span_scores.sum(dtype=dtype)
+    elif payload_function == "max":
+        out = span_scores.max()
+    else:  # min — reference seeds with first span (cur==0 ? s : min)
+        out = span_scores.min()
+    out = float(out)
+    if np.isnan(out) or out < 0:
+        return 0.0
+    return out
+
+
+def match_tokens_pandas(
+    tokens: pd.DataFrame,
+    terms: list[str],
+    slop: int,
+    in_order: bool,
+    payload_function: str,
+    len_norm: float,
+    dtype: type = np.float32,
+) -> pd.DataFrame:
+    """Match + score one batch of token rows (any number of docs).
+
+    ``tokens`` needs columns doc_id, token, abs_pos, score, seq.
+    Returns (doc_id, score, n_spans) for docs with >= 1 enumerated span.
+    """
+    cand = tokens[tokens["token"].isin(terms)]
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+                "n_spans": pd.Series([], dtype=np.int32),
+            }
+        )
+    # postings order: by (abs_pos, seq) per term — stable, deterministic
+    cand = cand.sort_values(["doc_id", "abs_pos", "seq"], kind="stable")
+    out_docs: list[object] = []
+    out_scores: list[float] = []
+    out_nspans: list[int] = []
+    for doc_id, g in cand.groupby("doc_id", sort=False):
+        tok_arr = g["token"].to_numpy()
+        pos_arr = g["abs_pos"].to_numpy(dtype=np.int64)
+        score_arr = g["score"].to_numpy(dtype=np.float32)
+        plists = []
+        ok = True
+        for t in terms:
+            m = tok_arr == t
+            if not m.any():
+                ok = False
+                break
+            plists.append((pos_arr[m], score_arr[m]))
+        if not ok:
+            continue
+        if in_order:
+            starts, ends, term_scores = _ordered_matches(plists, slop)
+        else:
+            starts, ends, term_scores = _unordered_matches(plists, slop)
+        if len(starts) == 0:
+            continue
+        leaf = _fold_leaf_scores(term_scores, dtype)
+        spans = _span_scores(starts, ends, leaf, len_norm, dtype)
+        out_docs.append(doc_id)
+        out_scores.append(_doc_score(spans, payload_function, dtype))
+        out_nspans.append(len(starts))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(out_docs, dtype=object),
+            "score": pd.Series(out_scores, dtype=np.float64),
+            "n_spans": pd.Series(out_nspans, dtype=np.int32),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark plans
+# ---------------------------------------------------------------------------
+
+
+def _resolve(query: str, config: LatticeConfig, params: MatchLatticeParams):
+    terms = analyze_query(query, config)
+    slop = params.effective_slop(config, len(terms))
+    return terms, slop
+
+
+def match_lattice(
+    docs: DataFrame,
+    query: str,
+    config: LatticeConfig | None = None,
+    params: MatchLatticeParams | None = None,
+    top_k: int | None = None,
+    doc_id_col: str = "doc_id",
+    spans_col: str = "spans",
+    dtype: type = np.float32,
+) -> DataFrame:
+    """Document-scan match: tokenize + span-match + score in one
+    ``mapInPandas`` pass over the interleaved documents table.
+
+    Physical plan: parquet scan (column-pruned to doc_id+spans) →
+    JVM substring prefilter → ArrowEval mapInPandas → optional
+    TakeOrderedAndProject.  No shuffle except the final top-k merge.
+    """
+    config = config or LatticeConfig()
+    params = params or MatchLatticeParams()
+    terms, slop = _resolve(query, config, params)
+
+    spark = docs.sparkSession
+    if not terms:
+        if params.zero_terms_query == "none":
+            return spark.createDataFrame([], HITS_SCHEMA)
+        # zero_terms_query=all → every doc matches with MIN_SCORE
+        return docs.select(
+            F.col(doc_id_col).cast("string").alias("doc_id"),
+            F.lit(float(MIN_SCORE)).alias("score"),
+            F.lit(0).alias("n_spans"),
+        )
+
+    narrow = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        text_values_col(spans_col).alias("values"),
+    )
+    # JVM-side candidate prefilter: every query term must appear as a
+    # substring of the raw text (a strict superset of token equality since
+    # the bare token prefixes each pipe record).  This is the analog of the
+    # inverted-index skip: non-candidate docs never cross the Arrow boundary.
+    joined = F.lower(F.concat_ws(" ", F.col("values")))
+    cond = None
+    for t in terms:
+        c = joined.contains(t)
+        cond = c if cond is None else (cond & c)
+    narrow = narrow.filter(cond)
+
+    in_order, pf, ln = params.in_order, params.payload_function, (
+        params.payload_length_norm_factor
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = tokenize_pandas(pdf["doc_id"], pdf["values"], config)
+            yield match_tokens_pandas(
+                toks, terms, slop, in_order, pf, ln, dtype
+            )
+
+    hits = narrow.mapInPandas(run, schema=HITS_SCHEMA)
+    if top_k is not None:
+        hits = hits.orderBy(F.desc("score"), "doc_id").limit(top_k)
+    return hits
+
+
+def match_lattice_tokens(
+    tokens: DataFrame,
+    query: str,
+    config: LatticeConfig | None = None,
+    params: MatchLatticeParams | None = None,
+    top_k: int | None = None,
+    dtype: type = np.float32,
+) -> DataFrame:
+    """Token-table match: ``token IN terms`` filter (pushed down to the
+    scan) → shuffle by doc_id → per-doc span DP via ``applyInPandas``.
+
+    Use when the token stream is pre-materialized (the engine's "index").
+    If the token table is bucketed/partitioned by doc_id the exchange
+    disappears entirely.
+    """
+    config = config or LatticeConfig()
+    params = params or MatchLatticeParams()
+    terms, slop = _resolve(query, config, params)
+    spark = tokens.sparkSession
+    if not terms:
+        if params.zero_terms_query == "none":
+            return spark.createDataFrame([], HITS_SCHEMA)
+        return (
+            tokens.select(F.col("doc_id").cast("string")).distinct()
+            .select(
+                "doc_id",
+                F.lit(float(MIN_SCORE)).alias("score"),
+                F.lit(0).alias("n_spans"),
+            )
+        )
+
+    in_order, pf, ln = params.in_order, params.payload_function, (
+        params.payload_length_norm_factor
+    )
+
+    cand = tokens.filter(F.col("token").isin(terms)).select(
+        "doc_id", "token", "abs_pos", "score", "seq"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return match_tokens_pandas(pdf, terms, slop, in_order, pf, ln, dtype)
+
+    hits = cand.groupBy("doc_id").applyInPandas(run, schema=HITS_SCHEMA)
+    if top_k is not None:
+        hits = hits.orderBy(F.desc("score"), "doc_id").limit(top_k)
+    return hits

@@ -1,0 +1,73 @@
+"""Fixed StructType schemas — the single source of truth for every table the
+engine touches (the analog of the reference's `dynamic: strict` mappings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Input: Iceberg-style table of interleaved text + media documents
+# (BASELINE.json input_hint).
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), True),
+    ]
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT), True),
+    ]
+)
+
+# Expanded token stream (the engine's "postings": one row per emitted token,
+# duplicates from score buckets included, positions materialized).
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("seq", T.IntegerType(), False),  # emission order
+        T.StructField("token", T.StringType(), True),
+        T.StructField("pos", T.IntegerType(), True),  # lattice position field
+        T.StructField("rank", T.IntegerType(), True),
+        T.StructField("score", T.FloatType(), True),  # float32 payload
+        T.StructField("start_t", T.FloatType(), True),
+        T.StructField("stop_t", T.FloatType(), True),
+        T.StructField("pos_inc", T.IntegerType(), True),
+        T.StructField("abs_pos", T.IntegerType(), True),  # running sum
+    ]
+)
+
+# match_lattice output: per-doc hit row.
+HITS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("n_spans", T.IntegerType(), False),
+    ]
+)
+
+# Extraction output (north_rule): ordered main-content spans per document.
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT), True),
+        T.StructField("n_spans", T.IntegerType(), True),
+        T.StructField("n_text_chars", T.LongType(), True),
+    ]
+)
+
+# Checkpoint table: per-partition lineage + metrics for idempotent resume.
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("n_spans", T.LongType(), False),
+        T.StructField("n_text_chars", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("wall_secs", T.DoubleType(), True),
+    ]
+)

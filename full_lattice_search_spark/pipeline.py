@@ -1,0 +1,156 @@
+"""Scale layer: bucketed, resumable extraction runs (north_rule).
+
+The input is hash-bucketed by ``doc_id`` into ``n_buckets`` logical
+partitions.  Each run:
+
+1. reads the checkpoint table and prunes buckets already marked ``done``
+   (idempotent resume — re-running a completed job is a no-op);
+2. routes documents by span count: ordinary docs take the zero-shuffle
+   whole-doc path, mega-docs (``size(spans) > salt_threshold``) take the
+   salted span-level path (explicit skew handling — one giant document can
+   no longer pin a single task);
+3. writes output parquet partitioned by bucket (dynamic partition overwrite,
+   so a re-processed bucket replaces itself rather than duplicating);
+4. appends one lineage+metrics row per bucket to the checkpoint table.
+
+On a real cluster the same code runs over Iceberg with
+``spark.read.format("iceberg")`` — the bucket column maps onto the table's
+bucket partition transform so step 2's filter becomes partition pruning.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_lattice_search_spark.config import LatticeConfig
+from full_lattice_search_spark.operators.extract import (
+    extract_spans,
+    extract_spans_salted,
+)
+from full_lattice_search_spark.schema import CHECKPOINT_SCHEMA
+
+DEFAULT_SALT_THRESHOLD = 64
+
+
+def bucket_col(doc_id_col: str, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> set[int]:
+    try:
+        ckpt = spark.read.schema(CHECKPOINT_SCHEMA).parquet(checkpoint_dir)
+    except Exception:
+        return set()
+    rows = ckpt.filter(F.col("status") == "done").select("bucket").distinct()
+    return {r["bucket"] for r in rows.collect()}
+
+
+def run_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    config: LatticeConfig | None = None,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    doc_id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> dict:
+    """Run (or resume) the extraction pipeline.  Returns run metrics."""
+    config = config or LatticeConfig()
+    run_id = uuid.uuid4().hex[:12]
+    t0 = time.time()
+
+    done = completed_buckets(spark, checkpoint_dir)
+    pending = sorted(set(range(n_buckets)) - done)
+    if not pending:
+        return {
+            "run_id": run_id,
+            "buckets_done": len(done),
+            "buckets_processed": 0,
+            "docs": 0,
+            "wall_secs": 0.0,
+        }
+
+    bucketed = docs.withColumn("_bucket", bucket_col(doc_id_col, n_buckets))
+    if done:
+        bucketed = bucketed.filter(F.col("_bucket").isin(pending))
+
+    is_mega = F.size(spans_col) > salt_threshold
+    small = bucketed.filter(~is_mega)
+    mega = bucketed.filter(is_mega)
+
+    out_small = extract_spans(small, config, doc_id_col=doc_id_col,
+                              spans_col=spans_col)
+    out_mega = extract_spans_salted(mega, config, doc_id_col=doc_id_col,
+                                    spans_col=spans_col)
+    out = out_small.unionByName(out_mega).withColumn(
+        "bucket", bucket_col("doc_id", n_buckets)
+    )
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        out.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(output_dir)
+    )
+
+    # lineage + metrics per bucket, appended idempotently after the data
+    # commit (a crash before this append leaves the bucket "not done" → it
+    # is re-processed and dynamically overwritten on resume).
+    wall = time.time() - t0
+    result = spark.read.parquet(output_dir).filter(
+        F.col("bucket").isin(pending)
+    )
+    metrics = (
+        result.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("n_text_chars").cast("long").alias("n_text_chars"),
+        )
+        .select(
+            "bucket",
+            F.lit(run_id).alias("run_id"),
+            "n_docs",
+            "n_spans",
+            "n_text_chars",
+            F.lit("done").alias("status"),
+            F.lit(float(wall)).alias("wall_secs"),
+        )
+    )
+    # buckets with zero surviving docs still need a marker row
+    import pandas as pd  # local import keeps module import light
+
+    seen = {r["bucket"] for r in metrics.select("bucket").collect()}
+    empty = [b for b in pending if b not in seen]
+    metrics_pdf = metrics.toPandas()
+    if empty:
+        empty_pdf = pd.DataFrame(
+            {
+                "bucket": empty,
+                "run_id": run_id,
+                "n_docs": 0,
+                "n_spans": 0,
+                "n_text_chars": 0,
+                "status": "done",
+                "wall_secs": float(wall),
+            }
+        )
+        metrics_pdf = pd.concat([metrics_pdf, empty_pdf], ignore_index=True)
+    spark.createDataFrame(metrics_pdf, CHECKPOINT_SCHEMA).write.mode(
+        "append"
+    ).parquet(checkpoint_dir)
+
+    n_docs = int(metrics_pdf["n_docs"].sum())
+    return {
+        "run_id": run_id,
+        "buckets_done": len(done),
+        "buckets_processed": len(pending),
+        "docs": n_docs,
+        "wall_secs": wall,
+    }

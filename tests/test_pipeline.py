@@ -1,0 +1,73 @@
+"""Checkpointed pipeline: idempotent resume, lineage metrics, skew routing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from full_lattice_search_spark.datagen import synth_documents
+from full_lattice_search_spark.pipeline import completed_buckets, run_extraction
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def test_run_and_resume(spark, dirs):
+    out_dir, ckpt_dir = dirs
+    docs = synth_documents(spark, 60, seed=3, mega_every=20).cache()
+
+    m1 = run_extraction(spark, docs, out_dir, ckpt_dir, n_buckets=8)
+    assert m1["buckets_processed"] == 8
+    assert m1["docs"] == 60
+
+    result = spark.read.parquet(out_dir)
+    assert result.count() == 60
+    assert result.select("doc_id").distinct().count() == 60
+
+    done = completed_buckets(spark, ckpt_dir)
+    assert done == set(range(8))
+
+    # resume over a completed checkpoint: no-op
+    m2 = run_extraction(spark, docs, out_dir, ckpt_dir, n_buckets=8)
+    assert m2["buckets_processed"] == 0
+    assert spark.read.parquet(out_dir).count() == 60
+
+
+def test_partial_resume(spark, dirs):
+    out_dir, ckpt_dir = dirs
+    docs = synth_documents(spark, 40, seed=5, mega_every=0).cache()
+
+    m1 = run_extraction(spark, docs, out_dir, ckpt_dir, n_buckets=4)
+    assert m1["docs"] == 40
+
+    # simulate a crash: drop two buckets' checkpoint rows
+    ckpt = spark.read.parquet(ckpt_dir).filter(F.col("bucket") < 2)
+    pdf = ckpt.toPandas()
+    import shutil
+
+    shutil.rmtree(ckpt_dir)
+    from full_lattice_search_spark.schema import CHECKPOINT_SCHEMA
+
+    spark.createDataFrame(pdf, CHECKPOINT_SCHEMA).write.parquet(ckpt_dir)
+
+    m2 = run_extraction(spark, docs, out_dir, ckpt_dir, n_buckets=4)
+    assert m2["buckets_done"] == 2
+    assert m2["buckets_processed"] == 2
+    # dynamic partition overwrite → still exactly one row per doc
+    result = spark.read.parquet(out_dir)
+    assert result.count() == 40
+    assert result.select("doc_id").distinct().count() == 40
+
+
+def test_metrics_lineage(spark, dirs):
+    out_dir, ckpt_dir = dirs
+    docs = synth_documents(spark, 20, seed=9, mega_every=0)
+    m = run_extraction(spark, docs, out_dir, ckpt_dir, n_buckets=2)
+    ckpt = spark.read.parquet(ckpt_dir).toPandas()
+    assert set(ckpt["bucket"]) == {0, 1}
+    assert (ckpt["status"] == "done").all()
+    assert ckpt["n_docs"].sum() == 20
+    assert ckpt["run_id"].nunique() == 1
+    assert m["run_id"] == ckpt["run_id"].iloc[0]

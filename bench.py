@@ -1,0 +1,130 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+The flagship number is end-to-end extraction throughput (docs/sec) over a
+deterministic synthetic interleaved-docs corpus (BASELINE.json metric); the
+corpus is materialized to parquet before timing so the measurement is
+read → extract → write, not datagen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fls-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from full_lattice_search_spark.config import LatticeConfig, MatchLatticeParams
+    from full_lattice_search_spark.datagen import synth_documents
+    from full_lattice_search_spark.functions.tokenizer import lattice_tokenize
+    from full_lattice_search_spark.operators.extract import extract_spans
+    from full_lattice_search_spark.operators.match import match_lattice
+    from full_lattice_search_spark.plans import queries as Q
+
+    base = tempfile.mkdtemp(prefix="fls_bench_")
+    corpus_dir = f"{base}/corpus"
+    out_dir = f"{base}/out"
+    timings: dict[str, float] = {}
+
+    try:
+        # materialize the bench corpus (not timed)
+        synth_documents(
+            spark, N_BENCH_DOCS, seed=42, mega_every=2000, partitions=cpus * 2
+        ).write.mode("overwrite").parquet(corpus_dir)
+        corpus = spark.read.parquet(corpus_dir)
+
+        # q_extract: the BASELINE metric — end-to-end extraction throughput
+        t0 = time.time()
+        extract_spans(corpus, LatticeConfig()).write.mode("overwrite").parquet(
+            out_dir
+        )
+        timings["extract"] = time.time() - t0
+        docs_per_sec = N_BENCH_DOCS / timings["extract"]
+
+        # q_match_docs: document-scan span match over the corpus
+        t0 = time.time()
+        match_lattice(
+            corpus,
+            "quick brown fox",
+            LatticeConfig(),
+            MatchLatticeParams(slop=2),
+            top_k=10,
+        ).collect()
+        timings["match_docs"] = time.time() - t0
+
+        # q_tokenize: full token-stream expansion of the corpus
+        t0 = time.time()
+        lattice_tokenize(corpus, LatticeConfig()).count()
+        timings["tokenize"] = time.time() - t0
+
+        # operator queries over the provided sf tables
+        for name in (
+            "match_ordered_2",
+            "match_score_single",
+            "dedup_exact",
+            "minhash_lsh_pairs",
+            "simhash",
+            "ann_bruteforce",
+            "quality",
+            "pricing_summary",
+        ):
+            t0 = time.time()
+            Q.QUERIES[name](spark, sf_dir).count()
+            timings[name] = time.time() - t0
+
+        total = sum(timings.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "end-to-end extraction + operator suite wall time",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": {k: round(v, 3) for k, v in timings.items()},
+                    "sf": sf,
+                    "docs_per_sec": round(docs_per_sec, 1),
+                    "bench_docs": N_BENCH_DOCS,
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

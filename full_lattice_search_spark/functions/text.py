@@ -1,0 +1,120 @@
+"""Text-analysis functions for training-data curation: language ID,
+quality scoring, token counting, fingerprinting.
+
+All column expressions (JVM, codegen) — designed so a SQL engine (DuckDB)
+reproduces them exactly, which is how the correctness oracles work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# n-gram-free heuristic language profiles: stopword marker sets.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "a", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "zh": ("de5", "shi4", "le5"),  # romanized placeholders
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _toks(text_col: str) -> str:
+    return f"split(lower({text_col}), ' ')"
+
+
+def marker_count_col(text_col: str, markers: tuple[str, ...]) -> Column:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(
+        f"size(filter({_toks(text_col)}, t -> array_contains(array({arr}), t)))"
+    )
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID: argmax of marker-set hit counts; ties resolve
+    in fixed profile order (en first)."""
+    counts = {
+        lang: marker_count_col(text_col, m).alias(f"c_{lang}")
+        for lang, m in LANG_MARKERS.items()
+    }
+    scored = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), *counts.values()
+    )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in langs])
+    pred = None
+    for lang in reversed(langs):
+        cond = F.when(F.col(f"c_{lang}") == best, F.lit(lang))
+        pred = cond.otherwise(pred) if pred is not None else cond
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.cast("long").alias("marker_hits"),
+    )
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Length / word-shape / stopword-ratio quality features + a composite
+    score in [0, 1].  The formula is arbitrary but fixed — the point is the
+    plumbing and the oracle parity."""
+    toks = _toks(text_col)
+    n_tokens = F.expr(f"size({toks})")
+    mean_len = F.expr(
+        f"(length({text_col}) - (size({toks}) - 1)) / size({toks})"
+    )
+    stop_ratio = marker_count_col(text_col, STOPWORDS) / n_tokens
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.6
+        + F.lit(0.4) * (F.lit(1.0) - F.least(stop_ratio * 2, F.lit(1.0))),
+        4,
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy: runs of letters,
+    runs of digits, and isolated non-space symbols each count as one."""
+    ws = F.expr(f"size(split({text_col}, ' '))")
+    bpe = F.expr(
+        f"size(regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))"
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_tokens: int = 16,
+) -> DataFrame:
+    """Document fingerprints: full-text hash + head fingerprint over the
+    first ``prefix_tokens`` tokens (cheap near-head-dup probe)."""
+    toks = _toks(text_col)
+    full = F.md5(F.lower(F.trim(F.col(text_col))))
+    head = F.expr(
+        f"md5(concat_ws(' ', slice({toks}, 1, {prefix_tokens})))"
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        full.alias("fp_full"),
+        head.alias("fp_head"),
+    )

@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot-path computation is JVM-side (built-in Spark SQL functions over
+arrays/strings — no Python in the data plane), so every operator here rides
+whole-stage codegen and scales with ordinary shuffle tuning:
+
+- ``exact``: md5-of-normalized-text groupBy.  One shuffle on the hash.
+- ``minhash LSH``: word-shingles → per-seed min of md5(seed||shingle) →
+  band keys → self-join on band key.  The band join is an equi-join on a
+  high-cardinality key — Catalyst shuffle-hash; at 100 TB the band table is
+  a tiny projection (doc_id + 16 hashes), and banding bounds the pair
+  blow-up (only same-bucket pairs are generated, never the n² cross).
+- ``simhash``: 32-bit signature from per-token md5 hex parity; near-dups =
+  same signature (or small hamming distance via multi-probe).
+- ``ngram jaccard``: blocked self-join + array_intersect on distinct
+  shingle sets — exact verification pass for LSH candidates.
+
+The md5-based hash family is deliberately *portable*: DuckDB computes the
+same hex strings, which is what makes the correctness oracles exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_HASHES = 16
+DEFAULT_BAND_ROWS = 4
+SHINGLE_K = 3
+
+# Kirsch-Mitzenmacher hash family: h_j = (h1*(2j+1) + h2*(j+7)) mod M with
+# h1/h2 = 48-bit ints from the two halves of one md5.  One digest per
+# shingle instead of n_hashes digests, and integer mins hash-aggregate with
+# mutable buffers (strings would force SortAggregate).
+MINHASH_MOD = 1125899906842597  # prime < 2^50; products stay < 2^63
+
+
+def hex_to_int_expr(col: str, start: int, n: int, fn: str = "instr") -> str:
+    """Horner-unrolled hex→int over ``n`` hex chars of ``col`` starting at
+    1-based ``start``.  ``fn`` is the position function: Spark ``instr`` /
+    DuckDB ``strpos`` (same (haystack, needle) argument order) — the
+    expression text works verbatim in both engines."""
+    expr = "CAST(0 AS BIGINT)"
+    for c in range(n):
+        digit = f"({fn}('0123456789abcdef', substr({col}, {start + c}, 1)) - 1)"
+        expr = f"(({expr}) * 16 + {digit})"
+    return expr
+
+
+def minhash_value_exprs(
+    h1: str, h2: str, n_hashes: int = DEFAULT_N_HASHES
+) -> list[str]:
+    return [
+        f"(({h1}) * {2 * j + 1} + ({h2}) * {j + 7}) % {MINHASH_MOD}"
+        for j in range(n_hashes)
+    ]
+
+
+def normalized_text(text_col: str = "text") -> Column:
+    return F.lower(F.trim(F.col(text_col)))
+
+
+def exact_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(normalized text).  Returns one row
+    per duplicate group (n_docs >= 2) with the representative (min id)."""
+    h = F.md5(normalized_text(text_col)).alias("text_hash")
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), h)
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.expr(f"split(lower({text_col}), ' ')")
+
+
+def shingles_from_tokens(toks_col: str = "_toks", k: int = SHINGLE_K) -> Column:
+    """Distinct word k-shingles from a *materialized* token-array column.
+    (Never inline the split() into the transform lambda — HOF lambdas are
+    interpreted per element, so an inlined split re-tokenizes the document
+    once per shingle: O(n²) per doc.)  Documents shorter than k tokens
+    contribute their whole text as a single shingle."""
+    return F.expr(
+        f"""
+        array_distinct(CASE
+          WHEN size({toks_col}) >= {k} THEN
+            transform(
+              sequence(1, size({toks_col}) - {k - 1}),
+              i -> concat_ws(' ', slice({toks_col}, i, {k}))
+            )
+          ELSE array(concat_ws(' ', {toks_col}))
+        END)
+        """
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """(doc_id, mh: array<bigint>[n_hashes]) minhash signature.
+
+    Relational formulation: explode shingles → one md5 per shingle → two
+    48-bit ints (Horner over the hex halves) → n_hashes Kirsch-Mitzenmacher
+    values → integer min aggregates.  Everything runs in whole-stage
+    codegen with map-side partial min — the shuffle carries n_hashes longs
+    per doc regardless of document size.  (Do NOT write this as nested
+    higher-order functions: HOF lambdas are interpreted per element.)"""
+    sh_rows = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(text_col).alias("_toks"),
+    ).select("doc_id", F.explode(shingles_from_tokens("_toks")).alias("sh"))
+    hashed = sh_rows.select(
+        "doc_id", F.md5("sh").alias("h")
+    ).select(
+        "doc_id",
+        F.expr(hex_to_int_expr("h", 1, 12)).alias("h1"),
+        F.expr(hex_to_int_expr("h", 13, 12)).alias("h2"),
+    )
+    vals = minhash_value_exprs("h1", "h2", n_hashes)
+    mins = [F.min(F.expr(v)).alias(f"m{j}") for j, v in enumerate(vals)]
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"m{j}") for j in range(n_hashes)]).alias("mh"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_hashes: int = DEFAULT_N_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_key):
+    classic MinHash-LSH candidate generation.  Output: distinct
+    (doc_a, doc_b) with doc_a < doc_b."""
+    n_bands = n_hashes // band_rows
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("mh")[b * band_rows + r].cast("string")
+                        for r in range(band_rows)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_jaccard(
+    signatures: DataFrame, pairs: DataFrame, n_hashes: int = DEFAULT_N_HASHES
+) -> DataFrame:
+    """Estimated jaccard for candidate pairs = fraction of equal minhashes.
+    Both joins broadcast-able when the pair list is small; otherwise they
+    shuffle on doc_id — the signature table is a narrow projection."""
+    sa = signatures.select(
+        F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a")
+    )
+    sb = signatures.select(
+        F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b")
+    )
+    eq = F.expr(
+        f"size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), b -> b)) / {n_hashes}"
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(eq, 4).alias("jaccard_est"))
+    )
+
+
+def simhash_signature(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash as a '0'/'1' string.  Bit i of a token's hash is the
+    parity of hex digit i of md5(token); the signature bit is the sign of
+    the (+1/−1) sum over all tokens (multiplicity counted)."""
+    hashes = f"transform(split(lower({text_col}), ' '), t -> md5(t))"
+    bits = []
+    for i in range(n_bits):
+        s = (
+            f"aggregate({hashes}, 0, (acc, h) -> acc + "
+            f"(CASE WHEN instr('13579bdf', substr(h, {i + 1}, 1)) > 0 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"CASE WHEN ({s}) > 0 THEN '1' ELSE '0' END")
+    sig = F.expr("concat(" + ", ".join(bits) + ")")
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), sig.alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact n-gram Jaccard over blocked candidate pairs.  ``block_cols``
+    is the blocking key (same-block pairs only) — the explicit scale control:
+    pair count is Σ block_size², never n²."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        tokens_col(text_col).alias("_toks"),
+    ).select(
+        "doc_id",
+        *[F.col(c) for c in block_cols],
+        shingles_from_tokens("_toks", k).alias("sh"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = F.round(inter / union, 4)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

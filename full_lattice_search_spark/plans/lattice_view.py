@@ -1,0 +1,80 @@
+"""Deterministic lattice derivation from the driver-provided ``documents``
+parquet (doc_id, text, ...) — the bridge between the engine's operators and
+DuckDB-checkable oracles.
+
+The first ``N_TOKENS`` words of each document become a confusion network:
+
+- position  ``pos  = floor(2*i/3)``  (every 3rd/2nd token shares a position →
+  the sausage has alternatives, exercising posInc 0)
+- rank      ``rank = i - floor((3*pos + 1) / 2)``  (closed form for "index
+  within position" under that pos pattern — no window needed)
+- score     ``'0.' || ((i*37 + length(tok)*11) % 90 + 10)``  (two-digit
+  mantissa; *string* construction makes Spark and DuckDB agree exactly)
+
+Everything is integer arithmetic + string concat, so the Spark expression and
+the DuckDB SQL below produce byte-identical lattice records.  The Spark side
+then feeds the *real* engine operators (tokenizer / matcher / extractor);
+the DuckDB side recomputes the expected result relationally — a genuine
+independent oracle, not a golden constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_TOKENS = 24
+
+# Spark-side record builder (one expression, fully JVM/codegen).
+_RECORDS_EXPR = f"""
+transform(
+  slice(split(text, ' '), 1, {N_TOKENS}),
+  (tok, i) -> concat(
+    tok, '|',
+    cast(floor(2*i/3) as int), '|',
+    cast(i - floor((3*floor(2*i/3) + 1)/2) as int), '|',
+    '0.', cast((i*37 + length(tok)*11) % 90 + 10 as int)
+  )
+)
+"""
+
+
+def lattice_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents parquet → interleaved-docs table whose single text span is
+    the derived lattice record stream."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct("
+            "'kind', 'text', "
+            f"'text', concat_ws(' ', {_RECORDS_EXPR}), "
+            "'media_ref', cast(null as string), "
+            "'offset', 0))"
+        ).alias("spans"),
+    )
+
+
+# DuckDB-side token CTE: one row per (doc_id, i, tok, pos, rank, score).
+# ``score_i`` is the integer mantissa; score = score_i / 100.
+ORACLE_TOKENS_CTE = f"""
+toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         i - 1 AS i,
+         ts.tok AS tok
+  FROM (
+    SELECT doc_id, list_slice(string_split(text, ' '), 1, {N_TOKENS}) AS xs
+    FROM documents
+  ) d,
+  LATERAL (SELECT UNNEST(d.xs) AS tok, generate_subscripts(d.xs, 1) AS i) ts
+),
+lattice AS (
+  SELECT doc_id, i,
+         tok AS tok_raw,
+         lower(tok) AS token,
+         CAST(floor(2*i/3) AS BIGINT) AS pos,
+         CAST(i - floor((3*floor(2*i/3) + 1)/2) AS BIGINT) AS rank,
+         CAST((i*37 + length(tok)*11) % 90 + 10 AS BIGINT) AS score_i
+  FROM toks
+)
+"""

@@ -1,0 +1,903 @@
+"""Query registry: every implemented operator as a (Spark callable,
+DuckDB oracle SQL) pair — the driver-contract surface behind
+``__spark_entry__.py``.
+
+The Spark side exercises the *real* engine operators (tokenizer, span
+matcher, extractor, dedup, similarity, text analysis, multimodal stub);
+the oracle recomputes the expected result relationally in DuckDB over the
+same parquet views.  Shared arithmetic is integer/string-based (md5, two-
+digit score mantissas, decimal sums) precisely so both engines agree
+bit-for-bit; floating aggregates are rounded on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_lattice_search_spark.config import LatticeConfig, MatchLatticeParams
+from full_lattice_search_spark.functions.text import (
+    fingerprints,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+from full_lattice_search_spark.functions.tokenizer import lattice_tokenize
+from full_lattice_search_spark.operators.dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_jaccard,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_signature,
+)
+from full_lattice_search_spark.operators.extract import extract_spans
+from full_lattice_search_spark.operators.match import match_lattice_tokens
+from full_lattice_search_spark.operators.multimodal import media_features
+from full_lattice_search_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_dup_pairs,
+    lsh_bucket_topk,
+)
+from full_lattice_search_spark.plans.lattice_view import (
+    ORACLE_TOKENS_CTE,
+    lattice_docs,
+)
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+_ABS_CTE = f"""{ORACLE_TOKENS_CTE},
+incs AS (
+  SELECT doc_id, i, token, tok_raw, pos, rank, score_i,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY i) = pos
+              THEN 0 ELSE 1 END AS pos_inc
+  FROM lattice
+),
+abs_tokens AS (
+  SELECT doc_id, i, token, tok_raw, pos, rank, score_i, pos_inc,
+         SUM(pos_inc) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS abs_pos
+  FROM incs
+)
+"""
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str, **cfg) -> DataFrame:
+    return lattice_tokenize(lattice_docs(spark, sf_dir), LatticeConfig(**cfg))
+
+
+# Exact-duplicate augmentation: clone every 10th document.
+def _docs_with_exact_dups(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionByName(copies)
+
+
+_EXACT_DUP_SQL = """
+aug AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+# Near-duplicate augmentation: clone every 10th doc with the last 3 words
+# dropped.
+def _docs_with_near_dups(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    trunc = F.expr(
+        "concat_ws(' ', slice(split(text, ' '), 1,"
+        " greatest(size(split(text, ' ')) - 3, 1)))"
+    )
+    copies = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", trunc)
+    )
+    return docs.unionByName(copies)
+
+
+_NEAR_DUP_SQL = """
+aug AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+             greatest(len(string_split(text, ' ')) - 3, 1)), ' ') AS text,
+         lang
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+_SHINGLES_SQL = """
+toks AS (
+  SELECT doc_id, i - 1 AS i, ts.tok FROM (
+    SELECT doc_id, string_split(lower(text), ' ') AS xs FROM aug) d,
+  LATERAL (SELECT UNNEST(d.xs) AS tok, generate_subscripts(d.xs, 1) AS i) ts
+),
+shingles AS (
+  SELECT DISTINCT t1.doc_id,
+         t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+)
+"""
+
+from full_lattice_search_spark.operators.dedup import (  # noqa: E402
+    hex_to_int_expr,
+    minhash_value_exprs,
+)
+
+_MH_VALS = minhash_value_exprs("h1", "h2", 16)
+_MINHASH_SQL = (
+    _SHINGLES_SQL
+    + f""",
+hx AS (SELECT doc_id, md5(sh) AS h FROM shingles),
+hh AS (
+  SELECT doc_id,
+         {hex_to_int_expr("h", 1, 12, "strpos")} AS h1,
+         {hex_to_int_expr("h", 13, 12, "strpos")} AS h2
+  FROM hx
+),
+mh AS (
+  SELECT doc_id,
+         {", ".join(f"min({v}) AS m{j}" for j, v in enumerate(_MH_VALS))}
+  FROM hh GROUP BY doc_id
+)
+"""
+)
+
+_MH_LIST = "list_value(" + ", ".join(f"m{j}" for j in range(16)) + ")"
+
+
+# ---------------------------------------------------------------------------
+# lattice-core queries (exercise tokenizer / matcher / extractor)
+# ---------------------------------------------------------------------------
+
+
+def q_tokenize_posinc(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    return toks.select(
+        "doc_id",
+        F.col("seq").cast("long").alias("seq"),
+        "token",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("score").cast("double"), 2).alias("score_d"),
+        F.col("pos_inc").cast("long").alias("pos_inc"),
+        F.col("abs_pos").cast("long").alias("abs_pos"),
+    )
+
+
+SQL_TOKENIZE_POSINC = f"""
+WITH {_ABS_CTE}
+SELECT doc_id, CAST(i AS BIGINT) AS seq, token, pos, rank,
+       round(score_i / 100.0, 2) AS score_d,
+       CAST(pos_inc AS BIGINT) AS pos_inc, CAST(abs_pos AS BIGINT) AS abs_pos
+FROM abs_tokens
+"""
+
+
+def q_tokenize_buckets(spark, sf_dir):
+    toks = _tokens(spark, sf_dir, score_buckets=(0.7, 3, 0.4, 2))
+    return toks.select(
+        "doc_id",
+        "token",
+        F.col("abs_pos").cast("long").alias("abs_pos"),
+        F.col("pos_inc").cast("long").alias("pos_inc"),
+    )
+
+
+SQL_TOKENIZE_BUCKETS = f"""
+WITH {_ABS_CTE},
+reps AS (
+  SELECT *, CASE WHEN score_i >= 70 THEN 3
+                 WHEN score_i >= 40 THEN 2 ELSE 1 END AS rep
+  FROM abs_tokens
+)
+SELECT doc_id, token, CAST(abs_pos AS BIGINT) AS abs_pos,
+       CAST(CASE WHEN k.k = 1 THEN pos_inc ELSE 0 END AS BIGINT) AS pos_inc
+FROM reps JOIN (VALUES (1), (2), (3)) k(k) ON k.k <= reps.rep
+"""
+
+
+def _match(spark, sf_dir, query, slop, dtype=np.float32):
+    toks = _tokens(spark, sf_dir)
+    return match_lattice_tokens(
+        toks,
+        query,
+        LatticeConfig(),
+        MatchLatticeParams(slop=slop),
+        dtype=dtype,
+    )
+
+
+def q_match_ordered_2(spark, sf_dir):
+    hits = _match(spark, sf_dir, "hash merge", slop=5)
+    return hits.select("doc_id", F.col("n_spans").cast("long").alias("n_spans"))
+
+
+def _sql_match_chain(terms: list[str], slop: int) -> str:
+    """Greedy forward-chain enumeration (Lucene NearSpansOrdered): for each
+    occurrence of term1, later terms stretch to the minimal in-order
+    positions; the span matches iff p_k - p_1 - (k-1) <= slop."""
+    k = len(terms)
+    ctes = [
+        f"t{j} AS (SELECT doc_id, abs_pos FROM abs_tokens WHERE token = '{t}')"
+        for j, t in enumerate(terms, start=1)
+    ]
+    # cnt carries first-term occurrence multiplicity (several alternatives at
+    # one position can share the token — each is a separate Lucene match).
+    chain = (
+        "c1 AS (SELECT doc_id, abs_pos AS p1, abs_pos AS m, "
+        "count(*) AS cnt FROM t1 GROUP BY doc_id, abs_pos)"
+    )
+    prev = "c1"
+    for j in range(2, k + 1):
+        chain += f""",
+c{j} AS (
+  SELECT {prev}.doc_id, {prev}.p1, min(t{j}.abs_pos) AS m,
+         min({prev}.cnt) AS cnt
+  FROM {prev} JOIN t{j}
+    ON t{j}.doc_id = {prev}.doc_id AND t{j}.abs_pos >= {prev}.m + 1
+  GROUP BY {prev}.doc_id, {prev}.p1
+)"""
+        prev = f"c{j}"
+    return f"""
+WITH {_ABS_CTE},
+{", ".join(ctes)},
+{chain}
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_spans
+FROM {prev}
+WHERE m - p1 - {k - 1} <= {slop}
+GROUP BY doc_id
+"""
+
+
+SQL_MATCH_ORDERED_2 = _sql_match_chain(["hash", "merge"], 5)
+
+
+def q_match_ordered_3(spark, sf_dir):
+    hits = _match(spark, sf_dir, "key order data", slop=8)
+    return hits.select("doc_id", F.col("n_spans").cast("long").alias("n_spans"))
+
+
+SQL_MATCH_ORDERED_3 = _sql_match_chain(["key", "order", "data"], 8)
+
+
+def q_match_score_single(spark, sf_dir):
+    hits = _match(spark, sf_dir, "table", slop=0, dtype=np.float64)
+    return hits.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
+# Single-term sum score: each occurrence contributes
+# exp(log(1e5) + max(log(s), log(1e-6)) - log(1*lenNorm)) = 1e5 * s
+# with s the float32 payload (hence the REAL cast).
+SQL_MATCH_SCORE_SINGLE = f"""
+WITH {_ABS_CTE}
+SELECT doc_id,
+       round(sum(1e5 * CAST(CAST(score_i / 100.0 AS REAL) AS DOUBLE)), 4)
+         AS score,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM abs_tokens WHERE token = 'table'
+GROUP BY doc_id
+"""
+
+
+def q_match_topk(spark, sf_dir):
+    hits = _match(spark, sf_dir, "stream", slop=0, dtype=np.float64)
+    from pyspark.sql import Window
+
+    scored = hits.select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "score", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+SQL_MATCH_TOPK = f"""
+WITH {_ABS_CTE},
+scored AS (
+  SELECT doc_id,
+         round(sum(1e5 * CAST(CAST(score_i / 100.0 AS REAL) AS DOUBLE)), 4)
+           AS score
+  FROM abs_tokens WHERE token = 'stream'
+  GROUP BY doc_id
+)
+SELECT doc_id, score, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= 20
+"""
+
+
+def q_extract_best_path(spark, sf_dir):
+    out = extract_spans(lattice_docs(spark, sf_dir), LatticeConfig())
+    return out.select(
+        "doc_id", F.expr("spans[0].text").alias("best_path")
+    )
+
+
+SQL_EXTRACT_BEST_PATH = f"""
+WITH {ORACLE_TOKENS_CTE},
+ranked AS (
+  SELECT doc_id, pos, tok_raw,
+         row_number() OVER (PARTITION BY doc_id, pos
+                            ORDER BY rank, score_i DESC, i) AS rn
+  FROM lattice
+)
+SELECT doc_id, string_agg(tok_raw, ' ' ORDER BY pos) AS best_path
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+def q_prefix_match(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.filter(F.col("token").startswith("s"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_prefix_tokens"))
+    )
+
+
+SQL_PREFIX_MATCH = f"""
+WITH {ORACLE_TOKENS_CTE}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_prefix_tokens
+FROM lattice WHERE token LIKE 's%'
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dup_groups(_docs_with_exact_dups(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {_EXACT_DUP_SQL}
+SELECT md5(lower(trim(text))) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM aug GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sigs = minhash_signature(_read(spark, sf_dir, "documents"))
+    return sigs.select(
+        "doc_id",
+        F.expr("concat_ws('|', transform(mh, x -> cast(x as string)))").alias(
+            "sig"
+        ),
+    )
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH aug AS (SELECT doc_id, text, lang FROM documents),
+{_MINHASH_SQL[1:]}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       concat_ws('|', {", ".join(f"CAST(m{j} AS VARCHAR)" for j in range(16))})
+         AS sig
+FROM mh
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = _docs_with_near_dups(spark, sf_dir)
+    # the signature table is reused by banding and by both jaccard joins —
+    # at scale it would be a materialized table; here: persist once
+    sigs = minhash_signature(docs).persist()
+    pairs = lsh_candidate_pairs(sigs)
+    return minhash_jaccard(sigs, pairs).filter(F.col("jaccard_est") >= 0.5)
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_NEAR_DUP_SQL[1:]},
+{_MINHASH_SQL[1:]},
+sig AS (
+  SELECT doc_id, {_MH_LIST} AS mh FROM mh
+),
+bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(CAST(mh[4*b + 1] AS VARCHAR) || '|' ||
+             CAST(mh[4*b + 2] AS VARCHAR) || '|' ||
+             CAST(mh[4*b + 3] AS VARCHAR) || '|' ||
+             CAST(mh[4*b + 4] AS VARCHAR)) AS band_key
+  FROM sig, LATERAL (SELECT UNNEST([0, 1, 2, 3]) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_filter(list_zip(sa.mh, sb.mh),
+                               p -> p[1] = p[2])) / 16.0, 4) AS jaccard_est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       jaccard_est
+FROM est WHERE jaccard_est >= 0.5
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return simhash_signature(_read(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, md5(ts.tok) AS h FROM (
+    SELECT doc_id, string_split(lower(text), ' ') AS xs FROM documents) d,
+  LATERAL (SELECT UNNEST(d.xs) AS tok) ts
+),
+bits AS (
+  SELECT doc_id, bi.i AS i,
+         sum(CASE WHEN strpos('13579bdf', substr(h, bi.i + 1, 1)) > 0
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(0, 31)) AS i) bi
+  GROUP BY doc_id, bi.i
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+         AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _docs_with_near_dups(spark, sf_dir).withColumn(
+        "blk", F.substring("text", 1, 12)
+    )
+    return ngram_jaccard_pairs(docs, ["lang", "blk"], threshold=0.5)
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_NEAR_DUP_SQL[1:]},
+base AS (
+  SELECT doc_id, lang, substr(text, 1, 12) AS blk,
+         string_split(lower(text), ' ') AS xs
+  FROM aug
+),
+sh AS (
+  SELECT doc_id, lang, blk,
+         list_distinct([array_to_string(list_slice(xs, i, i + 2), ' ')
+                        for i in generate_series(1, greatest(len(xs) - 2, 1))])
+           AS s
+  FROM base
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       round(len(list_intersect(a.s, b.s)) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+         AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s)) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity / embeddings
+# ---------------------------------------------------------------------------
+
+
+def _embeddings_with_dups(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return emb.unionByName(copies)
+
+
+_EMB_DUP_SQL = """
+aug AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 20 = 0
+)
+"""
+
+_SQL_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    return embedding_dup_pairs(_embeddings_with_dups(spark, sf_dir))
+
+
+SQL_EMBEDDING_DUP_PAIRS = f"""
+WITH {_EMB_DUP_SQL}
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+       round({_SQL_COS.format(a="a.embedding", b="b.embedding")}, 4) AS cosine
+FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_SQL_COS.format(a="a.embedding", b="b.embedding")}, 4) >= 0.995
+"""
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return brute_force_topk(emb, query, k=10)
+
+
+SQL_ANN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings ORDER BY vec_id LIMIT 1),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_SQL_COS.format(a="e.embedding", b="q.qvec")}, 4) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       cosine, CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+_SQL_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN {{v}}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + ")"
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return lsh_bucket_topk(emb, query, k=5)
+
+
+SQL_ANN_LSH = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                  {_SQL_BUCKET.format(v="embedding")} AS bucket
+           FROM embeddings ORDER BY vec_id LIMIT 1),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_SQL_COS.format(a="e.embedding", b="q.qvec")}, 4) AS cosine
+  FROM embeddings e JOIN q
+    ON {_SQL_BUCKET.format(v="e.embedding")} = q.bucket
+  WHERE e.vec_id <> q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       cosine, CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+def _sql_marker_count(markers: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"t -> list_contains([{arr}], t)))"
+    )
+
+
+def _sql_lang_id() -> str:
+    from full_lattice_search_spark.functions.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    counts = ", ".join(
+        f"{_sql_marker_count(m)} AS c_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN c_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {counts}
+                FROM documents),
+withbest AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, {case} AS pred_lang, CAST(best AS BIGINT) AS marker_hits
+FROM withbest
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_quality(spark, sf_dir):
+    return quality_features(_read(spark, sf_dir, "documents"))
+
+
+def _sql_quality() -> str:
+    from full_lattice_search_spark.functions.text import STOPWORDS
+
+    sc = _sql_marker_count(STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         len(string_split(lower(text), ' ')) AS n,
+         length(text) AS chars,
+         {sc} AS stops
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       round((chars - (n - 1)) / n, 4) AS mean_token_len,
+       round(stops / n, 4) AS stopword_ratio,
+       round(least(n / 100.0, 1.0) * 0.6 +
+             0.4 * (1.0 - least(stops / n * 2, 1.0)), 4) AS quality
+FROM base
+"""
+
+
+SQL_QUALITY = _sql_quality()
+
+
+def q_token_counts(spark, sf_dir):
+    return token_counts(_read(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    return fingerprints(_read(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(lower(trim(text))) AS fp_full,
+       md5(array_to_string(list_slice(string_split(lower(text), ' '), 1, 16),
+                           ' ')) AS fp_head
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal stub
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct('kind', 'image', 'text', cast(null as string),"
+            " 'media_ref', concat('media://img/', cast(doc_id as string)),"
+            " 'offset', 0))"
+        ).alias("spans"),
+    )
+    feats = media_features(docs)
+    cols = [
+        F.col("features")[j].cast("long").alias(f"f{j}") for j in range(8)
+    ]
+    return feats.select(F.col("doc_id").cast("long").alias("doc_id"), *cols)
+
+
+SQL_MEDIA_FEATURES = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+""" + ",\n".join(
+    f"       CAST(strpos('0123456789abcdef', substr(md5('media://img/' || "
+    f"CAST(doc_id AS VARCHAR)), {j + 1}, 1)) - 1 AS BIGINT) AS f{j}"
+    for j in range(8)
+) + """
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational breadth (engine sanity on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (d("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_suppliers(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+    )
+    joined = rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    return (
+        joined.select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            F.col("s_name").alias("s_name"),
+            F.round("revenue", 4).alias("revenue"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("s_suppkey", "s_name", "revenue", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+SQL_TOP_SUPPLIERS = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       round(revenue, 4) AS revenue, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT s.s_suppkey, s.s_name, r.revenue,
+         row_number() OVER (ORDER BY r.revenue DESC, s.s_suppkey) AS rn
+  FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+) WHERE rn <= 10
+"""
+
+
+def q_events_running(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+SQL_EVENTS_RUNNING = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(sum(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "tokenize_posinc": q_tokenize_posinc,
+    "tokenize_buckets": q_tokenize_buckets,
+    "match_ordered_2": q_match_ordered_2,
+    "match_ordered_3": q_match_ordered_3,
+    "match_score_single": q_match_score_single,
+    "match_topk": q_match_topk,
+    "extract_best_path": q_extract_best_path,
+    "prefix_match": q_prefix_match,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "media_features": q_media_features,
+    "pricing_summary": q_pricing_summary,
+    "top_suppliers": q_top_suppliers,
+    "events_running": q_events_running,
+}
+
+ORACLES = {
+    "tokenize_posinc": SQL_TOKENIZE_POSINC,
+    "tokenize_buckets": SQL_TOKENIZE_BUCKETS,
+    "match_ordered_2": SQL_MATCH_ORDERED_2,
+    "match_ordered_3": SQL_MATCH_ORDERED_3,
+    "match_score_single": SQL_MATCH_SCORE_SINGLE,
+    "match_topk": SQL_MATCH_TOPK,
+    "extract_best_path": SQL_EXTRACT_BEST_PATH,
+    "prefix_match": SQL_PREFIX_MATCH,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+    "ann_lsh": SQL_ANN_LSH,
+    "lang_id": SQL_LANG_ID,
+    "quality": SQL_QUALITY,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "fingerprints": SQL_FINGERPRINTS,
+    "media_features": SQL_MEDIA_FEATURES,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_suppliers": SQL_TOP_SUPPLIERS,
+    "events_running": SQL_EVENTS_RUNNING,
+}

@@ -43,11 +43,29 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from full_lattice_search_spark.config import LatticeConfig
 from full_lattice_search_spark.schema import EXTRACTED_SCHEMA
+
+ARROW_SPAN_STRUCT = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+ARROW_EXTRACTED_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans", pa.list_(ARROW_SPAN_STRUCT)),
+        pa.field("n_spans", pa.int32()),
+        pa.field("n_text_chars", pa.int64()),
+    ]
+)
 
 MEDIA_KINDS = ("image", "audio", "video")
 
@@ -215,72 +233,77 @@ def extract_span_batch(
     )
 
 
-def _docs_to_flat(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized explode of (doc_id, kinds[], texts[], medias[], offsets[])
-    into one row per span, preserving per-doc offset order."""
-    counts = pdf["offsets"].map(len).to_numpy(dtype=np.int64)
-    di = np.repeat(np.arange(len(pdf)), counts)
+def _extract_batch_arrow(
+    rb: pa.RecordBatch, config: LatticeConfig, strict: bool
+) -> pa.RecordBatch:
+    """Whole-batch extraction with zero per-row Python: flatten the list
+    columns via Arrow offsets, run the vectorized span extractor, and
+    rebuild the output list<struct> directly from numpy offset arrays.
+    (The previous pandas implementation built one Python dict per span —
+    at 32 workers the allocation storm showed up as kernel time and killed
+    scaling.)"""
+    n_docs = rb.num_rows
+    doc_id = rb.column(0)
+    kinds, texts, medias, offsets = (rb.column(i) for i in range(1, 5))
 
-    def cat(col: str) -> np.ndarray:
-        vals = [np.asarray(v, dtype=object) for v in pdf[col] if len(v)]
-        if not vals:
-            return np.array([], dtype=object)
-        return np.concatenate(vals)
+    counts = pa.compute.list_value_length(kinds).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts, nan=0).astype(np.int64)
+    di = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
 
-    flat = pd.DataFrame(
-        {
-            "di": di,
-            "kind": cat("kinds"),
-            "text": cat("texts"),
-            "media_ref": cat("medias"),
-            "offset": cat("offsets").astype(np.int64)
-            if counts.sum()
-            else np.array([], dtype=np.int64),
-        }
+    flat_kind = pa.compute.list_flatten(kinds).to_pandas()
+    flat_text = pa.compute.list_flatten(texts).to_pandas()
+    flat_media = pa.compute.list_flatten(medias).to_pandas()
+    flat_off = (
+        pa.compute.list_flatten(offsets)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
     )
-    # enforce source order within each doc
-    flat = flat.sort_values(["di", "offset"], kind="stable").reset_index(drop=True)
-    return flat
 
+    # enforce source order within each doc (offset is the source ordering)
+    order = np.lexsort((flat_off, di))
+    if len(order) and not np.array_equal(order, np.arange(len(order))):
+        di = di[order]
+        flat_kind = flat_kind.iloc[order].reset_index(drop=True)
+        flat_text = flat_text.iloc[order].reset_index(drop=True)
+        flat_media = flat_media.iloc[order].reset_index(drop=True)
 
-def _flat_to_docs(
-    doc_ids: pd.Series, flat: pd.DataFrame, ext: pd.DataFrame
-) -> pd.DataFrame:
-    """Reassemble extracted span rows into EXTRACTED_SCHEMA doc rows."""
-    kept = flat[ext["keep"].to_numpy()]
-    ek = ext[ext["keep"].to_numpy()]
-    out_rows = []
-    ids = doc_ids.reset_index(drop=True)
-    groups: dict[int, list[dict]] = {}
-    k_arr = ek["kind"].to_numpy()
-    t_arr = ek["text"].to_numpy()
-    m_arr = ek["media_ref"].to_numpy()
-    d_arr = kept["di"].to_numpy()
-    for j in range(len(kept)):
-        groups.setdefault(int(d_arr[j]), []).append(
-            {
-                "kind": k_arr[j],
-                "text": t_arr[j],
-                "media_ref": m_arr[j],
-                "offset": 0,
-            }
-        )
-    for di_val, spans in groups.items():
-        for i, sp in enumerate(spans):
-            sp["offset"] = i
-    for di_val in range(len(ids)):
-        spans = groups.get(di_val, [])
-        n_chars = sum(len(s["text"]) for s in spans if s["text"] is not None)
-        out_rows.append(
-            {
-                "doc_id": ids.iloc[di_val],
-                "spans": spans,
-                "n_spans": np.int32(len(spans)),
-                "n_text_chars": np.int64(n_chars),
-            }
-        )
-    return pd.DataFrame(
-        out_rows, columns=["doc_id", "spans", "n_spans", "n_text_chars"]
+    ext = extract_span_batch(flat_kind, flat_text, flat_media, config, strict)
+    keep = ext["keep"].to_numpy()
+
+    di_k = di[keep]
+    kept_counts = np.bincount(di_k, minlength=n_docs).astype(np.int64)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(kept_counts, out=starts[1:])
+    new_offsets = (
+        np.arange(len(di_k), dtype=np.int64) - starts[di_k]
+    ).astype(np.int32)
+
+    out_text = ext["text"].to_numpy()[keep]
+    text_lens = np.array(
+        [len(t) if t is not None else 0 for t in out_text], dtype=np.int64
+    )
+    n_chars = np.bincount(di_k, weights=text_lens, minlength=n_docs).astype(
+        np.int64
+    )
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(ext["kind"].to_numpy()[keep], pa.string()),
+            pa.array(out_text, pa.string()),
+            pa.array(ext["media_ref"].to_numpy()[keep], pa.string()),
+            pa.array(new_offsets, pa.int32()),
+        ],
+        fields=list(ARROW_SPAN_STRUCT),
+    )
+    spans_col = pa.ListArray.from_arrays(pa.array(starts, pa.int32()), struct)
+    return pa.RecordBatch.from_arrays(
+        [
+            doc_id,
+            spans_col,
+            pa.array(kept_counts.astype(np.int32), pa.int32()),
+            pa.array(n_chars, pa.int64()),
+        ],
+        schema=ARROW_EXTRACTED_SCHEMA,
     )
 
 
@@ -301,20 +324,16 @@ def extract_spans(
     doc_id_col: str = "doc_id",
     spans_col: str = "spans",
 ) -> DataFrame:
-    """Direct path: whole-document extraction in one mapInPandas stage.
+    """Direct path: whole-document extraction in one mapInArrow stage.
     Zero shuffles; scales linearly with input splits."""
     config = config or LatticeConfig()
     narrow = docs.select(*_narrow_cols(doc_id_col, spans_col))
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            flat = _docs_to_flat(pdf)
-            ext = extract_span_batch(
-                flat["kind"], flat["text"], flat["media_ref"], config, strict
-            )
-            yield _flat_to_docs(pdf["doc_id"], flat, ext)
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            yield _extract_batch_arrow(rb, config, strict)
 
-    return narrow.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+    return narrow.mapInArrow(run, schema=EXTRACTED_SCHEMA)
 
 
 def extract_spans_salted(

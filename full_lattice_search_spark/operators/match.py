@@ -199,6 +199,19 @@ def _doc_score(span_scores: np.ndarray, payload_function: str, dtype: type) -> f
     return out
 
 
+_EMPTY_HITS = pd.DataFrame(
+    {
+        "doc_id": pd.Series([], dtype=object),
+        "score": pd.Series([], dtype=np.float64),
+        "n_spans": pd.Series([], dtype=np.int32),
+    }
+)
+
+# per-doc position space for the cross-document encoding; abs_pos is far
+# below this for any real document, and slop is validated against it
+_DOC_STRIDE = np.int64(1) << 40
+
+
 def match_tokens_pandas(
     tokens: pd.DataFrame,
     terms: list[str],
@@ -212,52 +225,110 @@ def match_tokens_pandas(
 
     ``tokens`` needs columns doc_id, token, abs_pos, score, seq.
     Returns (doc_id, score, n_spans) for docs with >= 1 enumerated span.
+
+    Vectorized across documents: positions are encoded as
+    ``doc_index * 2^40 + abs_pos`` so the greedy in-order chain (one
+    ``searchsorted`` per query term) runs over ALL documents at once — a
+    chain that leaks into the next document necessarily exceeds the slop
+    and is masked out.  No per-document Python loop for the ordered path.
     """
+    if slop < 0:  # audio seconds→slop conversion can go negative: no match
+        return _EMPTY_HITS.copy()
+    assert slop < (1 << 39), "slop out of range for position encoding"
     cand = tokens[tokens["token"].isin(terms)]
     if len(cand) == 0:
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype=object),
-                "score": pd.Series([], dtype=np.float64),
-                "n_spans": pd.Series([], dtype=np.int32),
-            }
-        )
+        return _EMPTY_HITS.copy()
     # postings order: by (abs_pos, seq) per term — stable, deterministic
     cand = cand.sort_values(["doc_id", "abs_pos", "seq"], kind="stable")
-    out_docs: list[object] = []
-    out_scores: list[float] = []
-    out_nspans: list[int] = []
-    for doc_id, g in cand.groupby("doc_id", sort=False):
-        tok_arr = g["token"].to_numpy()
-        pos_arr = g["abs_pos"].to_numpy(dtype=np.int64)
-        score_arr = g["score"].to_numpy(dtype=np.float32)
-        plists = []
-        ok = True
-        for t in terms:
-            m = tok_arr == t
-            if not m.any():
-                ok = False
-                break
-            plists.append((pos_arr[m], score_arr[m]))
-        if not ok:
-            continue
-        if in_order:
-            starts, ends, term_scores = _ordered_matches(plists, slop)
-        else:
-            starts, ends, term_scores = _unordered_matches(plists, slop)
-        if len(starts) == 0:
-            continue
-        leaf = _fold_leaf_scores(term_scores, dtype)
-        spans = _span_scores(starts, ends, leaf, len_norm, dtype)
-        out_docs.append(doc_id)
-        out_scores.append(_doc_score(spans, payload_function, dtype))
-        out_nspans.append(len(starts))
+    doc_codes, doc_uniques = pd.factorize(cand["doc_id"], sort=False)
+    gpos = doc_codes.astype(np.int64) * _DOC_STRIDE + cand["abs_pos"].to_numpy(
+        dtype=np.int64
+    )
+    tok_arr = cand["token"].to_numpy()
+    score_arr = cand["score"].to_numpy(dtype=np.float32)
+
+    plists: list[tuple[np.ndarray, np.ndarray]] = []
+    for t in terms:
+        m = tok_arr == t
+        if not m.any():
+            return _EMPTY_HITS.copy()
+        plists.append((gpos[m], score_arr[m]))
+
+    if in_order:
+        starts, ends, term_scores = _ordered_matches(plists, slop)
+        # matches whose chain crossed a document boundary have gap > slop
+        # and were already masked; starts/ends share one doc by construction
+        match_docs = (starts // _DOC_STRIDE).astype(np.int64)
+    else:
+        starts, ends, term_scores, match_docs = _unordered_matches_by_doc(
+            plists, slop
+        )
+    if len(starts) == 0:
+        return _EMPTY_HITS.copy()
+
+    leaf = _fold_leaf_scores(term_scores, dtype)
+    spans = _span_scores(starts, ends, leaf, len_norm, dtype)
+
+    n_docs = len(doc_uniques)
+    n_spans = np.bincount(match_docs, minlength=n_docs).astype(np.int64)
+    if payload_function == "sum":
+        # ordered fold per doc to mirror the reference's accumulation
+        agg = np.zeros(n_docs, dtype=dtype)
+        np.add.at(agg, match_docs, spans.astype(dtype))
+    elif payload_function == "max":
+        agg = np.full(n_docs, -np.inf, dtype=dtype)
+        np.maximum.at(agg, match_docs, spans.astype(dtype))
+    else:  # min
+        agg = np.full(n_docs, np.inf, dtype=dtype)
+        np.minimum.at(agg, match_docs, spans.astype(dtype))
+
+    hit_mask = n_spans > 0
+    out_scores = agg[hit_mask].astype(np.float64)
+    out_scores = np.where(
+        np.isnan(out_scores) | (out_scores < 0), 0.0, out_scores
+    )
     return pd.DataFrame(
         {
-            "doc_id": pd.Series(out_docs, dtype=object),
-            "score": pd.Series(out_scores, dtype=np.float64),
-            "n_spans": pd.Series(out_nspans, dtype=np.int32),
+            "doc_id": pd.Series(np.asarray(doc_uniques, dtype=object)[hit_mask]),
+            "score": out_scores,
+            "n_spans": n_spans[hit_mask].astype(np.int32),
         }
+    )
+
+
+def _unordered_matches_by_doc(
+    plists: list[tuple[np.ndarray, np.ndarray]], slop: int
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray], np.ndarray]:
+    """Unordered path over doc-encoded positions: runs the per-doc walk on
+    each document slice (slow path; in_order=False only)."""
+    k = len(plists)
+    doc_sets = [np.unique(p // _DOC_STRIDE) for p, _ in plists]
+    docs = doc_sets[0]
+    for d in doc_sets[1:]:
+        docs = np.intersect1d(docs, d, assume_unique=True)
+    starts_all, ends_all, docs_all = [], [], []
+    scores_all: list[list[np.ndarray]] = [[] for _ in range(k)]
+    for d in docs:
+        sub = []
+        for p, s in plists:
+            lo = np.searchsorted(p, d * _DOC_STRIDE, side="left")
+            hi = np.searchsorted(p, (d + 1) * _DOC_STRIDE, side="left")
+            sub.append((p[lo:hi] - d * _DOC_STRIDE, s[lo:hi]))
+        st, en, sc = _unordered_matches(sub, slop)
+        if len(st):
+            starts_all.append(st + d * _DOC_STRIDE)
+            ends_all.append(en + d * _DOC_STRIDE)
+            docs_all.append(np.full(len(st), d, dtype=np.int64))
+            for i in range(k):
+                scores_all[i].append(sc[i])
+    if not starts_all:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, [np.array([], dtype=np.float32)] * k, empty
+    return (
+        np.concatenate(starts_all),
+        np.concatenate(ends_all),
+        [np.concatenate(s).astype(np.float32) for s in scores_all],
+        np.concatenate(docs_all),
     )
 
 
@@ -375,10 +446,37 @@ def match_lattice_tokens(
         "doc_id", "token", "abs_pos", "score", "seq"
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return match_tokens_pandas(pdf, terms, slop, in_order, pf, ln, dtype)
+    # One hash exchange co-locates each doc's candidate rows; the sort makes
+    # them contiguous so mapInPandas can process thousands of docs per Arrow
+    # batch (a per-doc applyInPandas would pay one UDF call per document).
+    # Arrow may still split a partition into multiple batches mid-document,
+    # so incomplete trailing docs are carried over to the next batch.
+    n_part = tokens.sparkSession.sparkContext.defaultParallelism
+    cand = cand.repartition(n_part, "doc_id").sortWithinPartitions(
+        "doc_id", "abs_pos", "seq"
+    )
 
-    hits = cand.groupBy("doc_id").applyInPandas(run, schema=HITS_SCHEMA)
+    def run(batches) -> "pd.DataFrame":
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_doc = pdf["doc_id"].iloc[-1]
+            tail_mask = pdf["doc_id"] == last_doc
+            carry = pdf[tail_mask]
+            head = pdf[~tail_mask]
+            if len(head):
+                yield match_tokens_pandas(
+                    head, terms, slop, in_order, pf, ln, dtype
+                )
+        if carry is not None and len(carry):
+            yield match_tokens_pandas(
+                carry, terms, slop, in_order, pf, ln, dtype
+            )
+
+    hits = cand.mapInPandas(run, schema=HITS_SCHEMA)
     if top_k is not None:
         hits = hits.orderBy(F.desc("score"), "doc_id").limit(top_k)
     return hits

@@ -1,0 +1,118 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Designed for multi-executor clusters:
+
+    spark-submit --py-files fls.zip -m ...  # via scripts/submit.py
+
+The session builder sets nothing master-specific — master/executors come
+from spark-submit flags, so the same job runs on local[N], YARN, or K8s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="full-lattice-search-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="run the extraction pipeline")
+    ex.add_argument("--input", required=True, help="input parquet/iceberg path")
+    ex.add_argument("--output", required=True, help="output parquet dir")
+    ex.add_argument("--checkpoint", required=True, help="checkpoint table dir")
+    ex.add_argument("--n-buckets", type=int, default=32)
+    ex.add_argument("--salt-threshold", type=int, default=64)
+    ex.add_argument("--lattice-format", default="lattice")
+    ex.add_argument("--audio-inc-secs", type=float, default=0.01)
+
+    gen = sub.add_parser("datagen", help="generate a synthetic corpus")
+    gen.add_argument("--output", required=True)
+    gen.add_argument("--n-docs", type=int, default=100000)
+    gen.add_argument("--seed", type=int, default=42)
+    gen.add_argument("--mega-every", type=int, default=2000)
+    gen.add_argument("--partitions", type=int, default=None)
+
+    q = sub.add_parser("match", help="run a match_lattice query")
+    q.add_argument("--input", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--slop", type=int, default=0)
+    q.add_argument("--top-k", type=int, default=10)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName(f"fls-{args.cmd}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from full_lattice_search_spark.config import LatticeConfig, MatchLatticeParams
+
+    if args.cmd == "datagen":
+        from full_lattice_search_spark.datagen import synth_documents
+
+        synth_documents(
+            spark,
+            args.n_docs,
+            seed=args.seed,
+            mega_every=args.mega_every,
+            partitions=args.partitions,
+        ).write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"status": "ok", "n_docs": args.n_docs}))
+    elif args.cmd == "extract":
+        from full_lattice_search_spark.pipeline import run_extraction
+
+        config = LatticeConfig(
+            lattice_format=args.lattice_format,
+            audio_position_increment_seconds=args.audio_inc_secs,
+        )
+        docs = spark.read.parquet(args.input)
+        metrics = run_extraction(
+            spark,
+            docs,
+            args.output,
+            args.checkpoint,
+            n_buckets=args.n_buckets,
+            config=config,
+            salt_threshold=args.salt_threshold,
+        )
+        print(json.dumps({"status": "ok", **metrics}))
+    elif args.cmd == "match":
+        from full_lattice_search_spark.operators.match import match_lattice
+
+        docs = spark.read.parquet(args.input)
+        hits = match_lattice(
+            docs,
+            args.query,
+            LatticeConfig(),
+            MatchLatticeParams(slop=args.slop),
+            top_k=args.top_k,
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "status": "ok",
+                    "hits": [
+                        {"doc_id": r["doc_id"], "score": r["score"],
+                         "n_spans": r["n_spans"]}
+                        for r in hits
+                    ],
+                }
+            )
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

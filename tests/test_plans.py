@@ -1,0 +1,92 @@
+"""Physical-plan audits: the properties that matter at 100 TB —
+filter pushdown into the parquet scan, column pruning, Arrow-only Python,
+and broadcast joins for small dimensions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from full_lattice_search_spark.config import LatticeConfig, MatchLatticeParams
+from full_lattice_search_spark.datagen import synth_documents
+from full_lattice_search_spark.functions.tokenizer import lattice_tokenize
+from full_lattice_search_spark.operators.match import match_lattice_tokens
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def token_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tokens") / "tokens.parquet")
+    docs = synth_documents(spark, 50, seed=5, mega_every=0)
+    lattice_tokenize(docs, LatticeConfig()).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_token_filter_pushed_to_scan(token_table):
+    """token IN (...) must reach the parquet scan (PushedFilters), so the
+    inverted-index-like skip happens at the storage layer."""
+    hits = match_lattice_tokens(
+        token_table, "quick fox", LatticeConfig(), MatchLatticeParams(slop=5)
+    )
+    plan = plan_of(hits)
+    assert "PushedFilters" in plan
+    assert "In(token" in plan or "in(token" in plan.lower()
+
+
+def test_scan_schema_pruned(token_table):
+    """The matcher reads 5 of 10 token columns — the scan must prune."""
+    hits = match_lattice_tokens(
+        token_table, "quick", LatticeConfig(), MatchLatticeParams()
+    )
+    plan = plan_of(hits)
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schema, plan
+    assert "start_t" not in read_schema[0]
+    assert "stop_t" not in read_schema[0]
+    assert "token" in read_schema[0]
+
+
+def test_no_row_python_anywhere(spark, token_table):
+    """input_hint: no per-row Python — BatchEvalPython must never appear."""
+    from full_lattice_search_spark.operators.extract import extract_spans
+    from full_lattice_search_spark.plans import queries as Q
+
+    docs = synth_documents(spark, 10, seed=1, mega_every=0)
+    plans = [
+        plan_of(extract_spans(docs)),
+        plan_of(lattice_tokenize(docs, LatticeConfig())),
+        plan_of(
+            match_lattice_tokens(
+                token_table, "quick", LatticeConfig(), MatchLatticeParams()
+            )
+        ),
+        plan_of(Q.QUERIES["minhash_lsh_pairs"](spark, "/root/testdata/sf0.001")),
+    ]
+    for p in plans:
+        assert "BatchEvalPython" not in p
+
+
+def test_ann_query_broadcasts(spark):
+    """The tiny query side of the ANN join must broadcast, never shuffle
+    the corpus."""
+    from full_lattice_search_spark.plans.queries import q_ann_bruteforce
+
+    plan = plan_of(q_ann_bruteforce(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_extract_direct_path_has_no_exchange(spark):
+    """The whole-doc extraction path must be shuffle-free."""
+    from full_lattice_search_spark.operators.extract import extract_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from full_lattice_search_spark.plans.lattice_view import lattice_docs
+
+    out = extract_spans(lattice_docs(spark, "/root/testdata/sf0.001"))
+    plan = plan_of(out)
+    assert "Exchange" not in plan

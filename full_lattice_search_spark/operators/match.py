@@ -383,12 +383,16 @@ def match_lattice(
     # substring of the raw text (a strict superset of token equality since
     # the bare token prefixes each pipe record).  This is the analog of the
     # inverted-index skip: non-candidate docs never cross the Arrow boundary.
-    joined = F.lower(F.concat_ws(" ", F.col("values")))
+    # The joined text is materialized once in a projection — inlining it
+    # into the filter would re-concatenate the document per term.
+    narrow = narrow.withColumn(
+        "_joined", F.lower(F.concat_ws(" ", F.col("values")))
+    )
     cond = None
     for t in terms:
-        c = joined.contains(t)
+        c = F.col("_joined").contains(t)
         cond = c if cond is None else (cond & c)
-    narrow = narrow.filter(cond)
+    narrow = narrow.filter(cond).select("doc_id", "values")
 
     in_order, pf, ln = params.in_order, params.payload_function, (
         params.payload_length_norm_factor

@@ -369,6 +369,190 @@ GROUP BY doc_id
 """
 
 
+_AUDIO_INC = 0.25  # exact quarter: float32 and float64 agree on every delta
+
+# Spark-side audio record builder: times are exact multiples of 0.25 so the
+# float32 position math is bit-equal to the oracle's integer arithmetic.
+_AUDIO_RECORDS_EXPR = """
+transform(
+  slice(split(text, ' '), 1, 24),
+  (tok, i) -> concat(
+    tok, '|',
+    cast(floor(2*i/3) as int), '|',
+    cast(i - floor((3*floor(2*i/3) + 1)/2) as int), '|',
+    '0.', cast((i*37 + length(tok)*11) % 90 + 10 as int), '|',
+    format_string('%d.%02d', cast((i*25) div 100 as int), cast((i*25) % 100 as int)), '|',
+    format_string('%d.%02d', cast((i*25 + 25) div 100 as int), cast((i*25 + 25) % 100 as int))
+  )
+)
+"""
+
+
+def _audio_lattice_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct("
+            "'kind', 'text', "
+            f"'text', concat_ws(' ', {_AUDIO_RECORDS_EXPR}), "
+            "'media_ref', cast(null as string), "
+            "'offset', 0))"
+        ).alias("spans"),
+    )
+
+
+def q_tokenize_audio(spark, sf_dir):
+    cfg = LatticeConfig(
+        lattice_format="audio", audio_position_increment_seconds=_AUDIO_INC
+    )
+    toks = lattice_tokenize(_audio_lattice_docs(spark, sf_dir), cfg)
+    return toks.select(
+        "doc_id",
+        F.col("seq").cast("long").alias("seq"),
+        "token",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("start_t").cast("double"), 2).alias("start_t"),
+        F.round(F.col("stop_t").cast("double"), 2).alias("stop_t"),
+        F.col("pos_inc").cast("long").alias("pos_inc"),
+        F.col("abs_pos").cast("long").alias("abs_pos"),
+    )
+
+
+# audio pos_inc: same lattice pos -> 0; first token -> max(1, floor(t0/inc))
+# = max(1, i); else floor((t_i - t_prev)/inc) = i - prev_i (exact quarters).
+SQL_TOKENIZE_AUDIO = f"""
+WITH {ORACLE_TOKENS_CTE},
+incs AS (
+  SELECT doc_id, i, token, pos,
+         round(i * 25 / 100.0, 2) AS start_t,
+         round((i * 25 + 25) / 100.0, 2) AS stop_t,
+         CASE WHEN lag(pos) OVER w = pos THEN 0
+              WHEN lag(i) OVER w IS NULL THEN greatest(1, i)
+              ELSE greatest(1, i - lag(i) OVER w) END AS pos_inc
+  FROM lattice
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+)
+SELECT doc_id, CAST(i AS BIGINT) AS seq, token, pos, start_t, stop_t,
+       CAST(pos_inc AS BIGINT) AS pos_inc,
+       CAST(SUM(pos_inc) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS abs_pos
+FROM incs
+"""
+
+
+def q_match_buckets_score(spark, sf_dir):
+    toks = _tokens(spark, sf_dir, score_buckets=(0.7, 3, 0.4, 2))
+    hits = match_lattice_tokens(
+        toks,
+        "group",
+        LatticeConfig(score_buckets=(0.7, 3, 0.4, 2)),
+        MatchLatticeParams(slop=0),
+        dtype=np.float64,
+    )
+    return hits.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
+# score-bucket duplication: every duplicate is a real posting, so a single-
+# term query scores rep * 1e5 * s per original token (term-frequency hack).
+SQL_MATCH_BUCKETS_SCORE = f"""
+WITH {_ABS_CTE},
+reps AS (
+  SELECT *, CASE WHEN score_i >= 70 THEN 3
+                 WHEN score_i >= 40 THEN 2 ELSE 1 END AS rep
+  FROM abs_tokens WHERE token = 'group'
+)
+SELECT doc_id,
+       round(sum(rep * 1e5 * CAST(CAST(score_i / 100.0 AS REAL) AS DOUBLE)), 4)
+         AS score,
+       CAST(sum(rep) AS BIGINT) AS n_spans
+FROM reps GROUP BY doc_id
+"""
+
+
+def q_match_unordered_2(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    hits = match_lattice_tokens(
+        toks,
+        "small key",
+        LatticeConfig(),
+        MatchLatticeParams(slop=3, in_order=False),
+    )
+    return hits.select("doc_id")
+
+
+# unordered hit list: the min-pointer walk finds the smallest covering
+# window, so a doc hits iff EXISTS a pair with (max-min+1) - 2 <= slop.
+SQL_MATCH_UNORDERED_2 = f"""
+WITH {_ABS_CTE}
+SELECT DISTINCT a.doc_id
+FROM abs_tokens a JOIN abs_tokens b
+  ON a.doc_id = b.doc_id AND a.token = 'small' AND b.token = 'key'
+WHERE abs(a.abs_pos - b.abs_pos) - 1 <= 3
+"""
+
+
+def q_events_tumbling(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("bucket_ts"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_ts,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_HTML_WRAP = (
+    "concat('<html><head><style>.x{color:red}</style></head><body>',"
+    "'<nav><a href=\"/\">home</a></nav><article><h1>T</h1><p>', text,"
+    "'</p></article><script>var x=1;</script><footer>(c) f</footer>',"
+    "'</body></html>')"
+)
+
+
+def q_extract_boilerplate(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct('kind', 'text', "
+            f"'text', {_HTML_WRAP}, "
+            "'media_ref', cast(null as string), 'offset', 0))"
+        ).alias("spans"),
+    )
+    out = extract_spans(docs, LatticeConfig())
+    return out.select("doc_id", F.expr("spans[0].text").alias("content"))
+
+
+# the stripper must recover exactly the article content: h1 text + body
+SQL_EXTRACT_BOILERPLATE = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'T ' || text AS content
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup queries
 # ---------------------------------------------------------------------------
@@ -851,6 +1035,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 QUERIES = {
     "tokenize_posinc": q_tokenize_posinc,
     "tokenize_buckets": q_tokenize_buckets,
+    "tokenize_audio": q_tokenize_audio,
+    "match_buckets_score": q_match_buckets_score,
+    "match_unordered_2": q_match_unordered_2,
+    "events_tumbling": q_events_tumbling,
+    "extract_boilerplate": q_extract_boilerplate,
     "match_ordered_2": q_match_ordered_2,
     "match_ordered_3": q_match_ordered_3,
     "match_score_single": q_match_score_single,
@@ -878,6 +1067,11 @@ QUERIES = {
 ORACLES = {
     "tokenize_posinc": SQL_TOKENIZE_POSINC,
     "tokenize_buckets": SQL_TOKENIZE_BUCKETS,
+    "tokenize_audio": SQL_TOKENIZE_AUDIO,
+    "match_buckets_score": SQL_MATCH_BUCKETS_SCORE,
+    "match_unordered_2": SQL_MATCH_UNORDERED_2,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "extract_boilerplate": SQL_EXTRACT_BOILERPLATE,
     "match_ordered_2": SQL_MATCH_ORDERED_2,
     "match_ordered_3": SQL_MATCH_ORDERED_3,
     "match_score_single": SQL_MATCH_SCORE_SINGLE,

@@ -425,6 +425,10 @@ def match_lattice_tokens(
     Use when the token stream is pre-materialized (the engine's "index").
     If the token table is bucketed/partitioned by doc_id the exchange
     disappears entirely.
+
+    Semantics note: with ``zero_terms_query='all'`` this path returns only
+    documents that produced at least one token (all-media documents are not
+    present in a token table) — the document-scan path returns every doc.
     """
     config = config or LatticeConfig()
     params = params or MatchLatticeParams()

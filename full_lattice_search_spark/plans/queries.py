@@ -268,6 +268,25 @@ GROUP BY doc_id
 SQL_MATCH_ORDERED_2 = _sql_match_chain(["hash", "merge"], 5)
 
 
+def q_match_indexed_2(spark, sf_dir):
+    """Same query as match_ordered_2 but through the materialized,
+    bucket-partitioned token index (partition pruning at the scan)."""
+    import tempfile
+
+    from full_lattice_search_spark.sources.token_index import (
+        match_lattice_indexed,
+        write_token_index,
+    )
+    from full_lattice_search_spark.plans.lattice_view import lattice_docs
+
+    path = tempfile.mkdtemp(prefix="fls_idx_") + "/tokens"
+    write_token_index(lattice_docs(spark, sf_dir), path, LatticeConfig())
+    hits = match_lattice_indexed(
+        spark, path, "hash merge", LatticeConfig(), MatchLatticeParams(slop=5)
+    )
+    return hits.select("doc_id", F.col("n_spans").cast("long").alias("n_spans"))
+
+
 def q_match_ordered_3(spark, sf_dir):
     hits = _match(spark, sf_dir, "key order data", slop=8)
     return hits.select("doc_id", F.col("n_spans").cast("long").alias("n_spans"))
@@ -1041,6 +1060,7 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "extract_boilerplate": q_extract_boilerplate,
     "match_ordered_2": q_match_ordered_2,
+    "match_indexed_2": q_match_indexed_2,
     "match_ordered_3": q_match_ordered_3,
     "match_score_single": q_match_score_single,
     "match_topk": q_match_topk,
@@ -1073,6 +1093,7 @@ ORACLES = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "extract_boilerplate": SQL_EXTRACT_BOILERPLATE,
     "match_ordered_2": SQL_MATCH_ORDERED_2,
+    "match_indexed_2": SQL_MATCH_ORDERED_2,
     "match_ordered_3": SQL_MATCH_ORDERED_3,
     "match_score_single": SQL_MATCH_SCORE_SINGLE,
     "match_topk": SQL_MATCH_TOPK,

@@ -1,0 +1,52 @@
+"""Materialized token index: partition pruning + result parity with the
+direct document-scan path."""
+
+from __future__ import annotations
+
+import pytest
+
+from full_lattice_search_spark.config import LatticeConfig, MatchLatticeParams
+from full_lattice_search_spark.datagen import synth_documents
+from full_lattice_search_spark.operators.match import match_lattice
+from full_lattice_search_spark.sources.token_index import (
+    match_lattice_indexed,
+    write_token_index,
+)
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("index") / "tokens")
+    docs = synth_documents(spark, 60, seed=13, mega_every=0)
+    write_token_index(docs, path, LatticeConfig(), n_token_buckets=16)
+    return path
+
+
+def test_indexed_match_parity_with_scan(spark, index_path):
+    docs = synth_documents(spark, 60, seed=13, mega_every=0)
+    params = MatchLatticeParams(slop=3)
+    direct = {
+        (r["doc_id"], round(r["score"], 6), r["n_spans"])
+        for r in match_lattice(docs, "the quick", LatticeConfig(), params).collect()
+    }
+    indexed = {
+        (r["doc_id"], round(r["score"], 6), r["n_spans"])
+        for r in match_lattice_indexed(
+            spark, index_path, "the quick", LatticeConfig(), params,
+            n_token_buckets=16,
+        ).collect()
+    }
+    assert indexed == direct
+    assert len(indexed) > 0
+
+
+def test_index_scan_prunes_partitions(spark, index_path):
+    hits = match_lattice_indexed(
+        spark, index_path, "quick", LatticeConfig(), MatchLatticeParams(),
+        n_token_buckets=16,
+    )
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "token_bucket" in plan.split("PartitionFilters")[1][:200]
+    # rowgroup-level pushdown still applies within the bucket
+    assert "PushedFilters" in plan

@@ -55,7 +55,8 @@ def main() -> None:
     from full_lattice_search_spark.operators.match import match_lattice
     from full_lattice_search_spark.plans import queries as Q
 
-    base = tempfile.mkdtemp(prefix="fls_bench_")
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="fls_bench_", dir=scratch)
     corpus_dir = f"{base}/corpus"
     out_dir = f"{base}/out"
     timings: dict[str, float] = {}

@@ -44,6 +44,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -101,33 +102,60 @@ def _normalize_ws(s: pd.Series) -> pd.Series:
     return s.str.replace(_WS_RE, " ", regex=True).str.strip()
 
 
-def _lattice_best_path(
-    texts: pd.Series, config: LatticeConfig
-) -> pd.Series:
-    """Vectorized best-path decode for a batch of lattice strings.
+def _lattice_best_path_arrays(
+    flat_tokens: "pa.Array",
+    span_rep: np.ndarray,
+    n_spans: int,
+    config: LatticeConfig,
+) -> np.ndarray:
+    """Vectorized best-path decode over pre-split token arrays.
 
-    ``texts`` index identifies the span; returns best-path text per index.
+    ``flat_tokens``: every whitespace token of every lattice span (Arrow
+    string array); ``span_rep``: parallel span index.  Returns an object
+    array of length ``n_spans`` with the joined best-path text (None for
+    spans with no tokens).  Per (span, pos) the min-rank alternative wins,
+    ties broken by max score then first emission — the rank-0 Viterbi path
+    of a confusion network.
     """
-    if len(texts) == 0:
-        return texts
-    frame = pd.DataFrame({"span": texts.index, "tok": texts.str.split()})
-    frame = frame.explode("tok", ignore_index=True)
-    delim = re.escape(config.field_delimiter)
-    parts = frame["tok"].str.split(delim, expand=True)
-    frame["token"] = parts[0]
-    frame["pos"] = parts[1].astype(np.int64)
-    frame["rank"] = parts[2].astype(np.int64)
-    frame["score"] = parts[3].astype(np.float32)
-    frame["emit"] = np.arange(len(frame))
-    # per (span, pos): min rank, tie max score, tie first emission
-    frame = frame.sort_values(
-        ["span", "pos", "rank", "score", "emit"],
-        ascending=[True, True, True, False, True],
-        kind="stable",
+    out = np.full(n_spans, None, dtype=object)
+    n = len(flat_tokens)
+    if n == 0:
+        return out
+    nf = config.n_fields
+    parts = pc.list_flatten(pc.split_pattern(flat_tokens, config.field_delimiter))
+    base = np.arange(n, dtype=np.int64) * nf
+    token = parts.take(pa.array(base))
+    pos = pc.cast(parts.take(pa.array(base + 1)), pa.int64()).to_numpy(
+        zero_copy_only=False
     )
-    best = frame.drop_duplicates(subset=["span", "pos"], keep="first")
-    joined = best.groupby("span", sort=True)["token"].agg(" ".join)
-    return joined.reindex(texts.index)
+    rank = pc.cast(parts.take(pa.array(base + 2)), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    score = (
+        pc.cast(parts.take(pa.array(base + 3)), pa.float64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float32)
+    )
+    emit = np.arange(n, dtype=np.int64)
+    order = np.lexsort((emit, -score.astype(np.float64), rank, pos, span_rep))
+    s_span = span_rep[order]
+    s_pos = pos[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = (s_span[1:] != s_span[:-1]) | (s_pos[1:] != s_pos[:-1])
+    kept_idx = order[first]  # in (span, pos) order already
+    kept_span = s_span[first]
+    kept_tokens = token.take(pa.array(kept_idx))
+    # join per span with Arrow binary_join over a rebuilt list array
+    counts = np.bincount(kept_span, minlength=n_spans)
+    offsets = np.zeros(n_spans + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_tokens),
+        " ",
+    ).to_numpy(zero_copy_only=False)
+    has = counts > 0
+    out[has] = joined[has]
+    return out
 
 
 def _pdf_layout_parse(texts: pd.Series, strict: bool) -> pd.Series:
@@ -188,25 +216,46 @@ def extract_span_batch(
     is_text = ~is_media & ~is_pdf & text.notna()
 
     if is_text.any():
-        t = text[is_text]
-        # lattice detection: every whitespace token has exactly
-        # n_fields-1 delimiters
-        delim = re.escape(config.field_delimiter)
-        toks = pd.DataFrame({"span": t.index, "tok": t.str.split()})
-        toks = toks.explode("tok", ignore_index=True)
-        toks = toks[toks["tok"].notna()]
-        nd = toks["tok"].str.count(delim)
-        per_span = nd.groupby(toks["span"].to_numpy())
-        all_lattice = (per_span.min() == config.n_fields - 1) & (
-            per_span.max() == config.n_fields - 1
+        t_idx = np.flatnonzero(is_text.to_numpy())
+        va = pa.array(text.to_numpy()[t_idx], pa.string())
+        tok_lists = pc.utf8_split_whitespace(va)
+        counts = (
+            pc.list_value_length(tok_lists)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-        lattice_idx = all_lattice[all_lattice].index
+        flat = pc.list_flatten(tok_lists)
+        local_rep = np.repeat(np.arange(len(t_idx), dtype=np.int64), counts)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not nonempty.all():
+            flat = flat.filter(pa.array(nonempty))
+            local_rep = local_rep[nonempty]
+            counts = np.bincount(local_rep, minlength=len(t_idx))
+
+        # lattice detection: every whitespace token has exactly
+        # n_fields-1 delimiters (and the span has at least one token)
+        nd = pc.count_substring(flat, config.field_delimiter).to_numpy(
+            zero_copy_only=False
+        )
+        is_rec = nd == (config.n_fields - 1)
+        rec_per_span = np.bincount(
+            local_rep, weights=is_rec, minlength=len(t_idx)
+        )
+        all_lattice_local = (counts > 0) & (rec_per_span == counts)
+
         lattice_mask = pd.Series(False, index=idx)
+        lattice_idx = t_idx[all_lattice_local]
         lattice_mask[lattice_idx] = True
 
         if len(lattice_idx) > 0:
-            out_text[lattice_idx] = _lattice_best_path(
-                text[lattice_idx], config
+            in_lat = all_lattice_local[local_rep]
+            lat_tokens = flat.filter(pa.array(in_lat))
+            # renumber span ids to 0..len(lattice_idx)-1
+            remap = np.full(len(t_idx), -1, dtype=np.int64)
+            remap[all_lattice_local] = np.arange(len(lattice_idx))
+            lat_rep = remap[local_rep[in_lat]]
+            out_text[lattice_idx] = _lattice_best_path_arrays(
+                lat_tokens, lat_rep, len(lattice_idx), config
             )
 
         html_mask = is_text & ~lattice_mask & text.str.contains(

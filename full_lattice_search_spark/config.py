@@ -10,8 +10,9 @@ extraction pipeline.
 
 from __future__ import annotations
 
+import json
 import math
-from dataclasses import dataclass, field
+from dataclasses import asdict, dataclass, field
 
 LATTICE_FORMAT = "lattice"
 AUDIO_FORMAT = "audio"
@@ -99,6 +100,17 @@ class LatticeConfig:
         pairs = list(zip(self.thresholds(), (int(r) for r in self.repeats())))
         return sorted(pairs, key=lambda p: -p[0])
 
+    def to_json(self) -> str:
+        d = asdict(self)
+        d["score_buckets"] = list(d["score_buckets"])
+        return json.dumps(d, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "LatticeConfig":
+        d = json.loads(s)
+        d["score_buckets"] = tuple(d.get("score_buckets", ()))
+        return cls(**d)
+
 
 @dataclass(frozen=True)
 class MatchLatticeParams:
@@ -135,3 +147,10 @@ class MatchLatticeParams:
             config.audio_position_increment_seconds
         )
         return int(np.floor(ratio)) - (num_terms - 2) - 1
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "MatchLatticeParams":
+        return cls(**json.loads(s))

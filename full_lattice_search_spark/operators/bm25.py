@@ -1,0 +1,75 @@
+"""BM25 similarity over the token table.
+
+The reference's ``include_span_score`` multiplies the payload score by the
+Lucene similarity (BM25 by default; LatticePayloadScoreQuery.java:328-339).
+Exact Lucene-BM25 parity is out of scope (FIXTURES.md §6) — this is the
+engine's own corpus-statistics similarity, built entirely from relational
+primitives so Catalyst plans it: two aggregations (document lengths, term
+document-frequencies) + one join, no UDFs.
+
+At scale the stats tables are tiny (|vocab| and |docs| projections) and the
+df/idf side broadcasts; the per-(doc,term) tf aggregation is the only real
+shuffle and it is map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_scores(
+    tokens: DataFrame, terms: list[str], round_to: int | None = None
+) -> DataFrame:
+    """(doc_id, bm25) for every document matching >= 1 query term.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene flavor);
+    tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    """
+    toks = tokens.select("doc_id", "token")
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+
+    cand = toks.filter(F.col("token").isin(terms))
+    tf = cand.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = cand.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "tf_norm",
+            (F.col("tf") * (K1 + 1))
+            / (
+                F.col("tf")
+                + K1
+                * (
+                    1.0
+                    - B
+                    + B * F.col("dl") / (F.col("total_len") / F.col("n_docs"))
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * F.col("tf_norm")).alias("bm25"))
+    )
+    if round_to is not None:
+        scored = scored.select(
+            "doc_id", F.round("bm25", round_to).alias("bm25")
+        )
+    return scored

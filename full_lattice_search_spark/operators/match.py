@@ -55,11 +55,20 @@ from full_lattice_search_spark.functions.tokenizer import (
 from full_lattice_search_spark.schema import HITS_SCHEMA
 
 
-def analyze_query(query: str, config: LatticeConfig) -> list[str]:
+def analyze_query(
+    query: str, config: LatticeConfig, analyzer: str = "default"
+) -> list[str]:
     """Run the search analyzer over the query text (whitespace + lowercase,
     same chain as indexing).  Rejects graph queries — query tokens that land
     at the same position (posInc 0), mirroring
-    ``MatchLatticeQueryBuilder.java:312-314``."""
+    ``MatchLatticeQueryBuilder.java:312-314``.
+
+    ``analyzer='keyword'`` short-circuits to a single term on the raw value
+    (MatchLatticeQueryBuilder.java:292-295)."""
+    if analyzer == "keyword":
+        return [query] if query else []
+    if analyzer != "default":
+        raise ValueError(f"unknown query analyzer [{analyzer}]")
     toks = tokenize_pandas(
         pd.Series(["q"]), pd.Series([[query]]), config
     )
@@ -220,6 +229,7 @@ def match_tokens_pandas(
     payload_function: str,
     len_norm: float,
     dtype: type = np.float32,
+    prefix_last: bool = False,
 ) -> pd.DataFrame:
     """Match + score one batch of token rows (any number of docs).
 
@@ -235,7 +245,10 @@ def match_tokens_pandas(
     if slop < 0:  # audio seconds→slop conversion can go negative: no match
         return _EMPTY_HITS.copy()
     assert slop < (1 << 39), "slop out of range for position encoding"
-    cand = tokens[tokens["token"].isin(terms)]
+    keep = tokens["token"].isin(terms)
+    if prefix_last and terms:
+        keep = keep | tokens["token"].str.startswith(terms[-1])
+    cand = tokens[keep]
     if len(cand) == 0:
         return _EMPTY_HITS.copy()
     # postings order: by (abs_pos, seq) per term — stable, deterministic
@@ -248,8 +261,14 @@ def match_tokens_pandas(
     score_arr = cand["score"].to_numpy(dtype=np.float32)
 
     plists: list[tuple[np.ndarray, np.ndarray]] = []
-    for t in terms:
-        m = tok_arr == t
+    for i, t in enumerate(terms):
+        if prefix_last and i == len(terms) - 1:
+            # phrase-prefix: the final term matches any token with the
+            # prefix (SpanMultiTermQueryWrapper(PrefixQuery) analog,
+            # mapper/LatticeFieldMapper.java:251-271)
+            m = cand["token"].str.startswith(t).to_numpy()
+        else:
+            m = tok_arr == t
         if not m.any():
             return _EMPTY_HITS.copy()
         plists.append((gpos[m], score_arr[m]))
@@ -337,8 +356,13 @@ def _unordered_matches_by_doc(
 # ---------------------------------------------------------------------------
 
 
-def _resolve(query: str, config: LatticeConfig, params: MatchLatticeParams):
-    terms = analyze_query(query, config)
+def _resolve(
+    query: str,
+    config: LatticeConfig,
+    params: MatchLatticeParams,
+    analyzer: str = "default",
+):
+    terms = analyze_query(query, config, analyzer)
     slop = params.effective_slop(config, len(terms))
     return terms, slop
 
@@ -352,6 +376,8 @@ def match_lattice(
     doc_id_col: str = "doc_id",
     spans_col: str = "spans",
     dtype: type = np.float32,
+    phrase_prefix: bool = False,
+    query_analyzer: str = "default",
 ) -> DataFrame:
     """Document-scan match: tokenize + span-match + score in one
     ``mapInPandas`` pass over the interleaved documents table.
@@ -362,7 +388,7 @@ def match_lattice(
     """
     config = config or LatticeConfig()
     params = params or MatchLatticeParams()
-    terms, slop = _resolve(query, config, params)
+    terms, slop = _resolve(query, config, params, query_analyzer)
 
     spark = docs.sparkSession
     if not terms:
@@ -402,7 +428,8 @@ def match_lattice(
         for pdf in batches:
             toks = tokenize_pandas(pdf["doc_id"], pdf["values"], config)
             yield match_tokens_pandas(
-                toks, terms, slop, in_order, pf, ln, dtype
+                toks, terms, slop, in_order, pf, ln, dtype,
+                prefix_last=phrase_prefix,
             )
 
     hits = narrow.mapInPandas(run, schema=HITS_SCHEMA)
@@ -418,6 +445,8 @@ def match_lattice_tokens(
     params: MatchLatticeParams | None = None,
     top_k: int | None = None,
     dtype: type = np.float32,
+    phrase_prefix: bool = False,
+    query_analyzer: str = "default",
 ) -> DataFrame:
     """Token-table match: ``token IN terms`` filter (pushed down to the
     scan) → shuffle by doc_id → per-doc span DP via ``applyInPandas``.
@@ -432,7 +461,7 @@ def match_lattice_tokens(
     """
     config = config or LatticeConfig()
     params = params or MatchLatticeParams()
-    terms, slop = _resolve(query, config, params)
+    terms, slop = _resolve(query, config, params, query_analyzer)
     spark = tokens.sparkSession
     if not terms:
         if params.zero_terms_query == "none":
@@ -450,7 +479,10 @@ def match_lattice_tokens(
         params.payload_length_norm_factor
     )
 
-    cand = tokens.filter(F.col("token").isin(terms)).select(
+    pred = F.col("token").isin(terms)
+    if phrase_prefix:
+        pred = pred | F.col("token").startswith(terms[-1])
+    cand = tokens.filter(pred).select(
         "doc_id", "token", "abs_pos", "score", "seq"
     )
 
@@ -477,11 +509,13 @@ def match_lattice_tokens(
             head = pdf[~tail_mask]
             if len(head):
                 yield match_tokens_pandas(
-                    head, terms, slop, in_order, pf, ln, dtype
+                    head, terms, slop, in_order, pf, ln, dtype,
+                    prefix_last=phrase_prefix,
                 )
         if carry is not None and len(carry):
             yield match_tokens_pandas(
-                carry, terms, slop, in_order, pf, ln, dtype
+                carry, terms, slop, in_order, pf, ln, dtype,
+                prefix_last=phrase_prefix,
             )
 
     hits = cand.mapInPandas(run, schema=HITS_SCHEMA)

@@ -572,6 +572,161 @@ FROM documents
 """
 
 
+def q_match_phrase_prefix(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    hits = match_lattice_tokens(
+        toks,
+        "hash mer",
+        LatticeConfig(),
+        MatchLatticeParams(slop=5),
+        phrase_prefix=True,
+    )
+    return hits.select("doc_id", F.col("n_spans").cast("long").alias("n_spans"))
+
+
+# phrase-prefix: the last term's position list is every token with the
+# prefix (span-or of the expanded terms); the greedy chain is unchanged.
+SQL_MATCH_PHRASE_PREFIX = f"""
+WITH {_ABS_CTE},
+t1 AS (SELECT doc_id, abs_pos FROM abs_tokens WHERE token = 'hash'),
+t2 AS (SELECT doc_id, abs_pos FROM abs_tokens WHERE token LIKE 'mer%'),
+c1 AS (SELECT doc_id, abs_pos AS p1, abs_pos AS m, count(*) AS cnt
+       FROM t1 GROUP BY doc_id, abs_pos),
+c2 AS (
+  SELECT c1.doc_id, c1.p1, min(t2.abs_pos) AS m, min(c1.cnt) AS cnt
+  FROM c1 JOIN t2 ON t2.doc_id = c1.doc_id AND t2.abs_pos >= c1.m + 1
+  GROUP BY c1.doc_id, c1.p1
+)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_spans
+FROM c2 WHERE m - p1 - 1 <= 5 GROUP BY doc_id
+"""
+
+
+def q_bm25(spark, sf_dir):
+    from full_lattice_search_spark.operators.bm25 import bm25_scores
+
+    toks = _tokens(spark, sf_dir)
+    return bm25_scores(toks, ["table", "stream"], round_to=6)
+
+
+SQL_BM25 = f"""
+WITH {ORACLE_TOKENS_CTE},
+doclen AS (SELECT doc_id, count(*) AS dl FROM lattice GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM lattice
+  WHERE token IN ('table', 'stream') GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM lattice
+  WHERE token IN ('table', 'stream') GROUP BY token
+)
+SELECT t.doc_id,
+       round(sum(
+         ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+         (t.tf * 2.2) /
+         (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (c.total_len / c.n_docs)))
+       ), 6) AS bm25
+FROM tf t
+JOIN df d ON d.token = t.token
+JOIN doclen l ON l.doc_id = t.doc_id
+CROSS JOIN corpus c
+GROUP BY t.doc_id
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact on both engines (unix_timestamp floors fractional
+    # seconds while DuckDB's epoch() keeps them — off-by-one at boundaries)
+    ts_utc = F.col("ts").cast("timestamp")  # NTZ -> UTC (session tz)
+    gap = F.unix_micros(ts_utc) - F.unix_micros(F.lag(ts_utc).over(w))
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > 1800 * 1_000_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).cast("long").alias("start_ts"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).cast("long").alias("end_ts"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events",
+            "start_ts",
+            "end_ts",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS start_ts,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS end_ts,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def q_lineitem_cube(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+SQL_LINEITEM_CUBE = """
+SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+       coalesce(l_linestatus, '(all)') AS l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup queries
 # ---------------------------------------------------------------------------
@@ -1057,6 +1212,10 @@ QUERIES = {
     "tokenize_audio": q_tokenize_audio,
     "match_buckets_score": q_match_buckets_score,
     "match_unordered_2": q_match_unordered_2,
+    "match_phrase_prefix": q_match_phrase_prefix,
+    "bm25": q_bm25,
+    "events_sessionize": q_events_sessionize,
+    "lineitem_cube": q_lineitem_cube,
     "events_tumbling": q_events_tumbling,
     "extract_boilerplate": q_extract_boilerplate,
     "match_ordered_2": q_match_ordered_2,
@@ -1090,6 +1249,10 @@ ORACLES = {
     "tokenize_audio": SQL_TOKENIZE_AUDIO,
     "match_buckets_score": SQL_MATCH_BUCKETS_SCORE,
     "match_unordered_2": SQL_MATCH_UNORDERED_2,
+    "match_phrase_prefix": SQL_MATCH_PHRASE_PREFIX,
+    "bm25": SQL_BM25,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "lineitem_cube": SQL_LINEITEM_CUBE,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "extract_boilerplate": SQL_EXTRACT_BOILERPLATE,
     "match_ordered_2": SQL_MATCH_ORDERED_2,

@@ -1,0 +1,84 @@
+"""Phrase-prefix, keyword-analyzer, and BM25 similarity tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from full_lattice_search_spark.config import LatticeConfig, MatchLatticeParams
+from full_lattice_search_spark.functions.tokenizer import tokenize_pandas
+from full_lattice_search_spark.operators.bm25 import bm25_scores
+from full_lattice_search_spark.operators.match import (
+    analyze_query,
+    match_tokens_pandas,
+)
+
+DOC1 = "quick|0|0|0.6 brown|1|0|0.7 fox|2|0|0.5 box|2|0|0.1 jumped|3|0|0.9"
+DOC2 = "how|0|0|0.6 now|1|0|0.7 brown|2|0|0.5 yellow|2|0|0.1 cow|3|0|0.9"
+
+
+def toks():
+    return tokenize_pandas(
+        pd.Series(["doc1", "doc2"]),
+        pd.Series([[DOC1], [DOC2]]),
+        LatticeConfig(),
+    )
+
+
+def test_phrase_prefix_last_term():
+    # "quick bro" matches "quick brown" via prefix on the last term
+    hits = match_tokens_pandas(
+        toks(), ["quick", "bro"], 0, True, "sum", 1.0, prefix_last=True
+    )
+    assert list(hits["doc_id"]) == ["doc1"]
+    # without prefix semantics: no match
+    hits2 = match_tokens_pandas(
+        toks(), ["quick", "bro"], 0, True, "sum", 1.0, prefix_last=False
+    )
+    assert len(hits2) == 0
+
+
+def test_phrase_prefix_multiple_expansions():
+    # prefix "b" at doc1 matches brown(1) and box(2): quick->brown gap 0 ok
+    hits = match_tokens_pandas(
+        toks(), ["quick", "b"], 0, True, "sum", 1.0, prefix_last=True
+    )
+    assert list(hits["doc_id"]) == ["doc1"]
+
+
+def test_keyword_analyzer_short_circuit():
+    cfg = LatticeConfig()
+    assert analyze_query("Quick Brown", cfg, analyzer="keyword") == [
+        "Quick Brown"
+    ]
+    assert analyze_query("", cfg, analyzer="keyword") == []
+    with pytest.raises(ValueError, match="unknown query analyzer"):
+        analyze_query("x", cfg, analyzer="whitespace")
+
+
+def test_bm25_scores_spark(spark):
+    from full_lattice_search_spark.schema import DOCUMENTS_SCHEMA
+    from full_lattice_search_spark.functions.tokenizer import lattice_tokenize
+
+    docs = spark.createDataFrame(
+        [
+            ("doc1", [("text", DOC1, None, 0)]),
+            ("doc2", [("text", DOC2, None, 0)]),
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    tokens = lattice_tokenize(docs, LatticeConfig())
+    scored = {r["doc_id"]: r["bm25"] for r in bm25_scores(
+        tokens, ["brown", "fox"]
+    ).collect()}
+    # brown appears in both docs (low idf), fox only in doc1
+    assert set(scored) == {"doc1", "doc2"}
+    assert scored["doc1"] > scored["doc2"]
+    import math
+
+    # hand-computed: N=2, dl=5 both, avgdl=5 → tf_norm = 2.2/(1+1.2) for tf=1
+    idf_brown = math.log(1 + (2 - 2 + 0.5) / (2 + 0.5))
+    idf_fox = math.log(1 + (2 - 1 + 0.5) / (1 + 0.5))
+    tfn = 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 5 / 5))
+    assert abs(scored["doc1"] - (idf_brown + idf_fox) * tfn) < 1e-9
+    assert abs(scored["doc2"] - idf_brown * tfn) < 1e-9

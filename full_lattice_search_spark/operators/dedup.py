@@ -106,6 +106,7 @@ def minhash_signature(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = DEFAULT_N_HASHES,
+    id_cast: str | None = "long",
 ) -> DataFrame:
     """(doc_id, mh: array<bigint>[n_hashes]) minhash signature.
 
@@ -115,8 +116,11 @@ def minhash_signature(
     codegen with map-side partial min — the shuffle carries n_hashes longs
     per doc regardless of document size.  (Do NOT write this as nested
     higher-order functions: HOF lambdas are interpreted per element.)"""
+    id_expr = (
+        F.col(id_col).cast(id_cast) if id_cast else F.col(id_col)
+    ).alias("doc_id")
     sh_rows = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        id_expr,
         tokens_col(text_col).alias("_toks"),
     ).select("doc_id", F.explode(shingles_from_tokens("_toks")).alias("sh"))
     hashed = sh_rows.select(

@@ -1202,6 +1202,78 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+
+
+def q_curate_exact(spark, sf_dir):
+    """End-to-end curation over the derived lattice corpus with planted
+    exact duplicates: extract -> quality -> exact dedup keep-min."""
+    from full_lattice_search_spark.operators.curate import curate_documents
+
+    base = lattice_docs(spark, sf_dir)
+    copies = base.filter(F.col("doc_id").cast("long") % 10 == 0).withColumn(
+        "doc_id", F.concat(F.lit("dup-"), F.col("doc_id"))
+    )
+    docs = base.unionByName(copies)
+    kept = curate_documents(
+        docs, LatticeConfig(), min_quality=0.3, min_tokens=5, dedup="exact"
+    )
+    return kept.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality")
+
+
+_CURATE_STOPS = None  # built below
+
+
+def _sql_curate_exact() -> str:
+    from full_lattice_search_spark.functions.text import STOPWORDS
+
+    stop_arr = ", ".join(f"'{m}'" for m in STOPWORDS)
+    return f"""
+WITH {ORACLE_TOKENS_CTE},
+ranked AS (
+  SELECT doc_id, pos, tok_raw,
+         row_number() OVER (PARTITION BY doc_id, pos
+                            ORDER BY rank, score_i DESC, i) AS rn
+  FROM lattice
+),
+best AS (
+  SELECT doc_id, string_agg(tok_raw, ' ' ORDER BY pos) AS text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM best
+  UNION ALL
+  SELECT 'dup-' || doc_id AS doc_id, text FROM best
+  WHERE CAST(doc_id AS BIGINT) % 10 = 0
+),
+scored AS (
+  SELECT doc_id, text,
+         len(string_split(lower(text), ' ')) AS n,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains([{stop_arr}], t))) AS stops
+  FROM aug
+),
+q AS (
+  SELECT doc_id, text, n,
+         round(least(n / 100.0, 1.0) * 0.6 +
+               0.4 * (1.0 - least(stops / n * 2, 1.0)), 4) AS quality
+  FROM scored
+),
+kept AS (
+  SELECT * FROM q WHERE quality >= 0.3 AND n >= 5 AND text <> ''
+),
+reps AS (
+  SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id
+  FROM kept GROUP BY 1
+)
+SELECT k.doc_id, CAST(k.n AS BIGINT) AS n_tokens, k.quality
+FROM kept k JOIN reps r ON md5(lower(trim(k.text))) = r.h
+WHERE k.doc_id = r.keep_id
+"""
+
+
+SQL_CURATE_EXACT = _sql_curate_exact()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1216,6 +1288,7 @@ QUERIES = {
     "bm25": q_bm25,
     "events_sessionize": q_events_sessionize,
     "lineitem_cube": q_lineitem_cube,
+    "curate_exact": q_curate_exact,
     "events_tumbling": q_events_tumbling,
     "extract_boilerplate": q_extract_boilerplate,
     "match_ordered_2": q_match_ordered_2,
@@ -1253,6 +1326,7 @@ ORACLES = {
     "bm25": SQL_BM25,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "lineitem_cube": SQL_LINEITEM_CUBE,
+    "curate_exact": SQL_CURATE_EXACT,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "extract_boilerplate": SQL_EXTRACT_BOILERPLATE,
     "match_ordered_2": SQL_MATCH_ORDERED_2,

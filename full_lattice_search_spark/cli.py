@@ -40,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--query", required=True)
     q.add_argument("--slop", type=int, default=0)
     q.add_argument("--top-k", type=int, default=10)
+
+    cu = sub.add_parser("curate", help="extract + quality-filter + dedup")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--min-quality", type=float, default=0.2)
+    cu.add_argument("--min-tokens", type=int, default=3)
+    cu.add_argument("--dedup", choices=["exact", "minhash", "none"],
+                    default="exact")
     return p
 
 
@@ -87,6 +95,21 @@ def main(argv: list[str] | None = None) -> int:
             salt_threshold=args.salt_threshold,
         )
         print(json.dumps({"status": "ok", **metrics}))
+    elif args.cmd == "curate":
+        from full_lattice_search_spark.operators.curate import curate_documents
+
+        docs = spark.read.parquet(args.input)
+        kept = curate_documents(
+            spark.read.parquet(args.input),
+            LatticeConfig(),
+            min_quality=args.min_quality,
+            min_tokens=args.min_tokens,
+            dedup=args.dedup,
+        )
+        kept.write.mode("overwrite").parquet(args.output)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({"status": "ok", "docs_in": n_in, "docs_kept": n_out}))
     elif args.cmd == "match":
         from full_lattice_search_spark.operators.match import match_lattice
 

@@ -26,7 +26,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = np.round(df[c].astype(np.float64), 9)
+            df[c] = df[c].astype(np.float64)
         elif str(df[c].dtype).startswith(("int", "Int", "uint")):
             df[c] = df[c].astype(np.int64)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
@@ -81,7 +81,9 @@ def main() -> int:
         for c in got.columns:
             g, e = got[c].to_numpy(), exp[c].to_numpy()
             if np.issubdtype(got[c].dtype, np.floating):
-                bad = ~np.isclose(g, e, rtol=0, atol=1e-8, equal_nan=True)
+                # exact bit equality: the driver hashes values, so rounded
+                # floats must be IDENTICAL doubles on both engines
+                bad = ~((g == e) | (np.isnan(g) & np.isnan(e)))
             else:
                 bad = g != e
             if bad.any():

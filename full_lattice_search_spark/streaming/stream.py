@@ -16,7 +16,6 @@ the cloud-scale pattern for "catch up on everything new, then stop".
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from full_lattice_search_spark.config import LatticeConfig

@@ -516,6 +516,8 @@ WHERE abs(a.abs_pos - b.abs_pos) - 1 <= 3
 
 
 def q_events_tumbling(spark, sf_dir):
+    # ts is TIMESTAMP_NTZ; epoch math must not depend on the session tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _read(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -636,6 +638,8 @@ GROUP BY t.doc_id
 
 
 def q_events_sessionize(spark, sf_dir):
+    # ts is TIMESTAMP_NTZ; epoch math must not depend on the session tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import Window
 
     ev = _read(spark, sf_dir, "events")

@@ -64,6 +64,8 @@ def main() -> None:
     op_queries = (
         "match_ordered_2",
         "match_score_single",
+        "match_span_score",
+        "match_unordered_3",
         "dedup_exact",
         "minhash_lsh_pairs",
         "simhash",
@@ -87,7 +89,7 @@ def main() -> None:
         extract_spans(warm_corpus, LatticeConfig()).count()
         match_lattice(
             warm_corpus, "quick brown fox", LatticeConfig(),
-            MatchLatticeParams(slop=2), top_k=10,
+            MatchLatticeParams(slop=2, include_span_score=False), top_k=10,
         ).collect()
         lattice_tokenize(warm_corpus, LatticeConfig()).count()
         for name in op_queries:
@@ -121,7 +123,7 @@ def main() -> None:
                 corpus,
                 "quick brown fox",
                 LatticeConfig(),
-                MatchLatticeParams(slop=2),
+                MatchLatticeParams(slop=2, include_span_score=False),
                 top_k=10,
             ).collect(),
         )

@@ -22,20 +22,38 @@ B = 0.75
 
 
 def bm25_scores(
-    tokens: DataFrame, terms: list[str], round_to: int | None = None
+    tokens: DataFrame,
+    terms: list[str],
+    round_to: int | None = None,
+    prefix_last: bool = False,
+    doclen: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, bm25) for every document matching >= 1 query term.
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene flavor);
     tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    ``prefix_last``: phrase-prefix queries expand the final term to every
+    token with the prefix; each expanded token contributes with its own
+    tf/df (the SpanMultiTermQueryWrapper rewrite analog).
+
+    ``doclen``: precomputed (doc_id, dl) table — the index-statistics
+    analog.  Pass it when ``tokens`` is a pruned view (e.g. the
+    bucket-partitioned token index after partition pruning), where
+    recomputing lengths from the visible rows would be wrong AND would
+    defeat the pruning with a full scan.
     """
     toks = tokens.select("doc_id", "token")
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    if doclen is None:
+        doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     corpus = doclen.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
 
-    cand = toks.filter(F.col("token").isin(terms))
+    pred = F.col("token").isin(terms)
+    if prefix_last and terms:
+        pred = pred | F.col("token").startswith(terms[-1])
+    cand = toks.filter(pred)
     tf = cand.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = cand.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")

@@ -9,9 +9,12 @@ The composed training-data pipeline over interleaved documents:
    (LSH candidate pairs; a doc is dropped when it pairs with a
    lexically-smaller survivor — the standard greedy LSH dedup).
 
-Everything stays declarative: aggregations and anti-joins on top of the
-extraction stage.  At 100 TB the hash/signature tables are narrow
-projections and the dropped-ids side of the anti-join is small → broadcast.
+Everything stays declarative on top of the extraction stage.  Scale notes:
+exact dedup is a single window shuffle on the text hash (row_number()==1
+keeps the min-id survivor — no join, no per-distinct-text table); the
+minhash drop is a plain left_anti whose strategy AQE picks at runtime —
+dedup side tables grow with the corpus dup rate (30-50% on web data), so
+nothing here is ever force-broadcast.
 """
 
 from __future__ import annotations
@@ -84,17 +87,24 @@ def curate_documents(
     if dedup == "none":
         return kept
     if dedup == "exact":
-        reps = kept.groupBy(F.md5(F.lower(F.trim("text"))).alias("h")).agg(
-            F.min("doc_id").alias("keep_id")
+        # one shuffle on the text hash, no join: the min-doc_id survivor per
+        # duplicate group is row_number()==1.  (A groupBy+join formulation
+        # materializes one row per DISTINCT TEXT — corpus-sized at a web-
+        # scale dup rate — and must never be broadcast.)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy(
+            "doc_id"
         )
         return (
-            kept.withColumn("h", F.md5(F.lower(F.trim("text"))))
-            .join(F.broadcast(reps), "h")
-            .filter(F.col("doc_id") == F.col("keep_id"))
-            .drop("h", "keep_id")
+            kept.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
-    # minhash: drop every doc that shares an LSH band with a smaller doc_id
+    # minhash: drop every doc that shares an LSH band with a smaller doc_id.
+    # Plain left_anti — the dropped-id side grows with the corpus dup rate
+    # (30-50% on web data), so the join strategy is left to AQE.
     sigs = minhash_signature(kept, id_cast=None)
     pairs = lsh_candidate_pairs(sigs)  # doc_a < doc_b (lexical on strings)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return kept.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return kept.join(dropped, "doc_id", "left_anti")

@@ -52,7 +52,7 @@ from full_lattice_search_spark.functions.tokenizer import (
     text_values_col,
     tokenize_pandas,
 )
-from full_lattice_search_spark.schema import HITS_SCHEMA
+from full_lattice_search_spark.schema import EXPLAIN_HITS_SCHEMA, HITS_SCHEMA
 
 
 def analyze_query(
@@ -129,8 +129,10 @@ def _unordered_matches(
     """NearSpansUnordered analog: enumerate candidate windows by advancing
     the minimum-start term pointer (heap-free k-way walk); match when the
     covering window satisfies ``(max_end - min_start) - k <= slop``.
-    Slow path (python loop over candidate windows) — only in_order=False
-    queries take it, and only over prefiltered candidate docs."""
+
+    Sequential reference implementation — kept as the equivalence oracle
+    for ``_unordered_matches_vec`` (property-tested); the engine's hot path
+    uses the vectorized form."""
     k = len(plists)
     if k == 1:
         p1, s1 = plists[0]
@@ -154,6 +156,85 @@ def _unordered_matches(
         np.asarray(starts_out, dtype=np.int64),
         np.asarray(ends_out, dtype=np.int64),
         [np.asarray(s, dtype=np.float32) for s in scores_out],
+    )
+
+
+def _unordered_matches_vec(
+    plists: list[tuple[np.ndarray, np.ndarray]], slop: int
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Vectorized NearSpansUnordered walk (no per-document Python loop).
+
+    Equivalence with the sequential min-pointer walk: every posting is
+    consumed exactly once, at the step where it is the global minimum
+    (ties break to the lowest term index, then list order).  At the step
+    where posting ``e`` of list ``i`` at position ``p`` is consumed,
+    pointer ``j`` sits at the first posting of list ``j`` with position
+    ``> p`` (for ``j < i`` — its positions ``<= p`` were consumed at
+    earlier steps) or ``>= p`` (for ``j > i`` — equal positions are still
+    unconsumed because ``i`` wins the tie).  The step executes iff all
+    those pointers exist (a missing one is exactly the walk's exhaustion
+    stop), and emits iff the covering width satisfies the slop.  Each
+    condition is one ``np.searchsorted`` per (i, j) pair over the
+    doc-encoded positions, so the whole enumeration is k(k-1)
+    searchsorteds regardless of document count; windows that would cross
+    a document boundary exceed the slop by construction and mask out.
+    Results are re-sorted to the sequential walk's emission order
+    (position, term index, duplicate order) so downstream float folds see
+    the same accumulation order.  Property-tested against
+    ``_unordered_matches``.
+    """
+    k = len(plists)
+    if k == 1:
+        p1, s1 = plists[0]
+        return p1, p1 + 1, [s1]
+    if any(len(p) == 0 for p, _ in plists):
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, [np.array([], dtype=np.float32)] * k
+    starts_parts: list[np.ndarray] = []
+    ends_parts: list[np.ndarray] = []
+    scores_parts: list[list[np.ndarray]] = [[] for _ in range(k)]
+    key_i_parts: list[np.ndarray] = []
+    key_e_parts: list[np.ndarray] = []
+    for i, (p_i, s_i) in enumerate(plists):
+        n_i = len(p_i)
+        if n_i == 0:
+            continue
+        valid = np.ones(n_i, dtype=bool)
+        maxpos = p_i.copy()
+        window_scores: list[np.ndarray | None] = [None] * k
+        window_scores[i] = s_i
+        for j, (p_j, s_j) in enumerate(plists):
+            if j == i:
+                continue
+            side = "right" if j < i else "left"
+            idx = np.searchsorted(p_j, p_i, side=side)
+            ok = idx < len(p_j)
+            idx_c = np.minimum(idx, max(len(p_j) - 1, 0))
+            valid &= ok
+            np.maximum(maxpos, p_j[idx_c], out=maxpos)
+            window_scores[j] = s_j[idx_c]
+        matched = valid & ((maxpos + 1 - p_i) - k <= slop)
+        if not matched.any():
+            continue
+        starts_parts.append(p_i[matched])
+        ends_parts.append(maxpos[matched] + 1)
+        for j in range(k):
+            scores_parts[j].append(window_scores[j][matched])
+        key_i_parts.append(np.full(int(matched.sum()), i, dtype=np.int64))
+        key_e_parts.append(np.flatnonzero(matched))
+    if not starts_parts:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, [np.array([], dtype=np.float32)] * k
+    starts = np.concatenate(starts_parts)
+    ends = np.concatenate(ends_parts)
+    key_i = np.concatenate(key_i_parts)
+    key_e = np.concatenate(key_e_parts)
+    # sequential consumption order: (position, term index, in-list order)
+    order = np.lexsort((key_e, key_i, starts))
+    return (
+        starts[order],
+        ends[order],
+        [np.concatenate(s)[order] for s in scores_parts],
     )
 
 
@@ -216,6 +297,14 @@ _EMPTY_HITS = pd.DataFrame(
     }
 )
 
+
+def _empty_hits(explain: bool) -> pd.DataFrame:
+    out = _EMPTY_HITS.copy()
+    if explain:
+        for c in ("span_start", "span_end", "span_score"):
+            out[c] = pd.Series([], dtype=object)
+    return out
+
 # per-doc position space for the cross-document encoding; abs_pos is far
 # below this for any real document, and slop is validated against it
 _DOC_STRIDE = np.int64(1) << 40
@@ -230,27 +319,32 @@ def match_tokens_pandas(
     len_norm: float,
     dtype: type = np.float32,
     prefix_last: bool = False,
+    explain: bool = False,
 ) -> pd.DataFrame:
     """Match + score one batch of token rows (any number of docs).
 
     ``tokens`` needs columns doc_id, token, abs_pos, score, seq.
-    Returns (doc_id, score, n_spans) for docs with >= 1 enumerated span.
+    Returns (doc_id, score, n_spans) for docs with >= 1 enumerated span;
+    with ``explain=True`` adds per-doc ``span_start``/``span_end``/
+    ``span_score`` arrays (doc-relative, enumeration order) — the analog of
+    the reference's per-hit Explanation tree
+    (LatticePayloadScoreQuery.java:316-326).
 
     Vectorized across documents: positions are encoded as
     ``doc_index * 2^40 + abs_pos`` so the greedy in-order chain (one
     ``searchsorted`` per query term) runs over ALL documents at once — a
     chain that leaks into the next document necessarily exceeds the slop
-    and is masked out.  No per-document Python loop for the ordered path.
+    and is masked out.  No per-document Python loop on either path.
     """
     if slop < 0:  # audio seconds→slop conversion can go negative: no match
-        return _EMPTY_HITS.copy()
+        return _empty_hits(explain)
     assert slop < (1 << 39), "slop out of range for position encoding"
     keep = tokens["token"].isin(terms)
     if prefix_last and terms:
         keep = keep | tokens["token"].str.startswith(terms[-1])
     cand = tokens[keep]
     if len(cand) == 0:
-        return _EMPTY_HITS.copy()
+        return _empty_hits(explain)
     # postings order: by (abs_pos, seq) per term — stable, deterministic
     cand = cand.sort_values(["doc_id", "abs_pos", "seq"], kind="stable")
     doc_codes, doc_uniques = pd.factorize(cand["doc_id"], sort=False)
@@ -270,20 +364,18 @@ def match_tokens_pandas(
         else:
             m = tok_arr == t
         if not m.any():
-            return _EMPTY_HITS.copy()
+            return _empty_hits(explain)
         plists.append((gpos[m], score_arr[m]))
 
     if in_order:
         starts, ends, term_scores = _ordered_matches(plists, slop)
-        # matches whose chain crossed a document boundary have gap > slop
-        # and were already masked; starts/ends share one doc by construction
-        match_docs = (starts // _DOC_STRIDE).astype(np.int64)
     else:
-        starts, ends, term_scores, match_docs = _unordered_matches_by_doc(
-            plists, slop
-        )
+        starts, ends, term_scores = _unordered_matches_vec(plists, slop)
+    # matches whose window crossed a document boundary exceed the slop and
+    # were already masked; starts/ends share one doc by construction
+    match_docs = (starts // _DOC_STRIDE).astype(np.int64)
     if len(starts) == 0:
-        return _EMPTY_HITS.copy()
+        return _empty_hits(explain)
 
     leaf = _fold_leaf_scores(term_scores, dtype)
     spans = _span_scores(starts, ends, leaf, len_norm, dtype)
@@ -306,20 +398,36 @@ def match_tokens_pandas(
     out_scores = np.where(
         np.isnan(out_scores) | (out_scores < 0), 0.0, out_scores
     )
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "doc_id": pd.Series(np.asarray(doc_uniques, dtype=object)[hit_mask]),
             "score": out_scores,
             "n_spans": n_spans[hit_mask].astype(np.int32),
         }
     )
+    if explain:
+        # match rows are sorted by doc (gpos-ascending on both paths), so the
+        # per-doc breakdown is an offset split — no per-row Python objects
+        # beyond the output lists themselves (explain is a debugging surface).
+        cuts = np.cumsum(n_spans[hit_mask])[:-1]
+        rel_start = (starts % _DOC_STRIDE).astype(np.int64)
+        rel_end = (ends % _DOC_STRIDE).astype(np.int64)
+        out["span_start"] = pd.Series(
+            np.split(rel_start, cuts), dtype=object
+        )
+        out["span_end"] = pd.Series(np.split(rel_end, cuts), dtype=object)
+        out["span_score"] = pd.Series(
+            np.split(spans.astype(np.float64), cuts), dtype=object
+        )
+    return out
 
 
 def _unordered_matches_by_doc(
     plists: list[tuple[np.ndarray, np.ndarray]], slop: int
 ) -> tuple[np.ndarray, np.ndarray, list[np.ndarray], np.ndarray]:
-    """Unordered path over doc-encoded positions: runs the per-doc walk on
-    each document slice (slow path; in_order=False only)."""
+    """Sequential unordered walk over doc-encoded positions, one document
+    slice at a time.  Superseded by ``_unordered_matches_vec`` on the hot
+    path; retained as the equivalence oracle for the property test."""
     k = len(plists)
     doc_sets = [np.unique(p // _DOC_STRIDE) for p, _ in plists]
     docs = doc_sets[0]
@@ -367,6 +475,50 @@ def _resolve(
     return terms, slop
 
 
+def _zero_terms_hits(source: DataFrame, params: MatchLatticeParams) -> DataFrame:
+    """zero_terms_query='all': every doc matches with MIN_SCORE (× boost)."""
+    return source.select(
+        "doc_id",
+        F.lit(float(MIN_SCORE) * params.boost).alias("score"),
+        F.lit(0).alias("n_spans"),
+    )
+
+
+def _compose_score(
+    hits: DataFrame,
+    tokens: DataFrame,
+    terms: list[str],
+    params: MatchLatticeParams,
+    phrase_prefix: bool,
+    doclen: DataFrame | None = None,
+) -> DataFrame:
+    """A7: ``include_span_score`` — multiply the engine-native similarity
+    (BM25 over the token table) into the payload score, mirroring
+    ``LatticePayloadScoreQuery.java:333-339`` (``scoreCurrentDoc`` returns
+    ``getSpanScore() * payloadScore`` when includeSpanScore), then apply the
+    builder ``boost``.  Exposes the decomposition as ``payload_score`` /
+    ``similarity`` columns (the Explanation analog at the doc level).
+
+    The joined tables are both keyed by doc_id — an ordinary shuffle join
+    that AQE converts to broadcast when the hit list is small."""
+    from full_lattice_search_spark.operators.bm25 import bm25_scores
+
+    boost = float(params.boost)
+    sims = bm25_scores(tokens, terms, prefix_last=phrase_prefix, doclen=doclen)
+    sims = sims.withColumnRenamed("bm25", "similarity")
+    scored = (
+        hits.withColumnRenamed("score", "payload_score")
+        .join(sims, "doc_id")
+        .withColumn(
+            "score",
+            F.col("payload_score") * F.col("similarity") * F.lit(boost),
+        )
+    )
+    front = ["doc_id", "score", "n_spans", "payload_score", "similarity"]
+    rest = [c for c in scored.columns if c not in front]
+    return scored.select(*front, *rest)
+
+
 def match_lattice(
     docs: DataFrame,
     query: str,
@@ -378,6 +530,7 @@ def match_lattice(
     dtype: type = np.float32,
     phrase_prefix: bool = False,
     query_analyzer: str = "default",
+    explain: bool = False,
 ) -> DataFrame:
     """Document-scan match: tokenize + span-match + score in one
     ``mapInPandas`` pass over the interleaved documents table.
@@ -385,6 +538,13 @@ def match_lattice(
     Physical plan: parquet scan (column-pruned to doc_id+spans) →
     JVM substring prefilter → ArrowEval mapInPandas → optional
     TakeOrderedAndProject.  No shuffle except the final top-k merge.
+
+    With the reference-default ``include_span_score=True`` the payload score
+    is multiplied by the engine-native BM25 similarity; corpus statistics
+    require a token pass over the corpus, so this path tokenizes twice —
+    deployments at scale should use the materialized token index
+    (``match_lattice_tokens``), where the statistics come from the same
+    table the matcher reads.
     """
     config = config or LatticeConfig()
     params = params or MatchLatticeParams()
@@ -394,31 +554,28 @@ def match_lattice(
     if not terms:
         if params.zero_terms_query == "none":
             return spark.createDataFrame([], HITS_SCHEMA)
-        # zero_terms_query=all → every doc matches with MIN_SCORE
-        return docs.select(
-            F.col(doc_id_col).cast("string").alias("doc_id"),
-            F.lit(float(MIN_SCORE)).alias("score"),
-            F.lit(0).alias("n_spans"),
+        return _zero_terms_hits(
+            docs.select(F.col(doc_id_col).cast("string").alias("doc_id")),
+            params,
         )
 
     narrow = docs.select(
         F.col(doc_id_col).cast("string").alias("doc_id"),
         text_values_col(spans_col).alias("values"),
     )
-    # JVM-side candidate prefilter: every query term must appear as a
-    # substring of the raw text (a strict superset of token equality since
-    # the bare token prefixes each pipe record).  This is the analog of the
-    # inverted-index skip: non-candidate docs never cross the Arrow boundary.
-    # The joined text is materialized once in a projection — inlining it
-    # into the filter would re-concatenate the document per term.
-    narrow = narrow.withColumn(
-        "_joined", F.lower(F.concat_ws(" ", F.col("values")))
+    # JVM-side candidate prefilter: ONE substring probe on the longest query
+    # term (a superset of token equality — the bare token prefixes each pipe
+    # record; length is the cheap rarity proxy).  Probing every term here
+    # would re-evaluate the document-reconstruction chain once per Contains:
+    # Catalyst collapses the projection into the (interpreted, HOF-bearing)
+    # Filter, so a k-term query rebuilt each doc's text k times in the scan
+    # stage (r01 PLANS.md).  The Python matcher verifies ALL terms anyway —
+    # a doc missing any term yields no postings — so the single-probe filter
+    # is correctness-neutral and evaluates the concat chain exactly once.
+    probe = max(terms, key=len).lower()
+    narrow = narrow.filter(
+        F.lower(F.concat_ws(" ", F.col("values"))).contains(probe)
     )
-    cond = None
-    for t in terms:
-        c = F.col("_joined").contains(t)
-        cond = c if cond is None else (cond & c)
-    narrow = narrow.filter(cond).select("doc_id", "values")
 
     in_order, pf, ln = params.in_order, params.payload_function, (
         params.payload_length_norm_factor
@@ -429,10 +586,23 @@ def match_lattice(
             toks = tokenize_pandas(pdf["doc_id"], pdf["values"], config)
             yield match_tokens_pandas(
                 toks, terms, slop, in_order, pf, ln, dtype,
-                prefix_last=phrase_prefix,
+                prefix_last=phrase_prefix, explain=explain,
             )
 
-    hits = narrow.mapInPandas(run, schema=HITS_SCHEMA)
+    schema = EXPLAIN_HITS_SCHEMA if explain else HITS_SCHEMA
+    hits = narrow.mapInPandas(run, schema=schema)
+    if params.include_span_score:
+        from full_lattice_search_spark.functions.tokenizer import (
+            lattice_tokenize,
+        )
+
+        tokens = lattice_tokenize(docs, config, doc_id_col=doc_id_col,
+                                  spans_col=spans_col)
+        hits = _compose_score(hits, tokens, terms, params, phrase_prefix)
+    elif params.boost != 1.0:
+        hits = hits.withColumn(
+            "score", F.col("score") * F.lit(float(params.boost))
+        )
     if top_k is not None:
         hits = hits.orderBy(F.desc("score"), "doc_id").limit(top_k)
     return hits
@@ -447,13 +617,17 @@ def match_lattice_tokens(
     dtype: type = np.float32,
     phrase_prefix: bool = False,
     query_analyzer: str = "default",
+    explain: bool = False,
+    doclen: DataFrame | None = None,
 ) -> DataFrame:
     """Token-table match: ``token IN terms`` filter (pushed down to the
     scan) → shuffle by doc_id → per-doc span DP via ``applyInPandas``.
 
     Use when the token stream is pre-materialized (the engine's "index").
     If the token table is bucketed/partitioned by doc_id the exchange
-    disappears entirely.
+    disappears entirely.  The reference-default ``include_span_score=True``
+    multiplies in the engine-native BM25 similarity computed from the same
+    token table (the index-statistics analog).
 
     Semantics note: with ``zero_terms_query='all'`` this path returns only
     documents that produced at least one token (all-media documents are not
@@ -466,13 +640,8 @@ def match_lattice_tokens(
     if not terms:
         if params.zero_terms_query == "none":
             return spark.createDataFrame([], HITS_SCHEMA)
-        return (
-            tokens.select(F.col("doc_id").cast("string")).distinct()
-            .select(
-                "doc_id",
-                F.lit(float(MIN_SCORE)).alias("score"),
-                F.lit(0).alias("n_spans"),
-            )
+        return _zero_terms_hits(
+            tokens.select(F.col("doc_id").cast("string")).distinct(), params
         )
 
     in_order, pf, ln = params.in_order, params.payload_function, (
@@ -510,15 +679,40 @@ def match_lattice_tokens(
             if len(head):
                 yield match_tokens_pandas(
                     head, terms, slop, in_order, pf, ln, dtype,
-                    prefix_last=phrase_prefix,
+                    prefix_last=phrase_prefix, explain=explain,
                 )
         if carry is not None and len(carry):
             yield match_tokens_pandas(
                 carry, terms, slop, in_order, pf, ln, dtype,
-                prefix_last=phrase_prefix,
+                prefix_last=phrase_prefix, explain=explain,
             )
 
-    hits = cand.mapInPandas(run, schema=HITS_SCHEMA)
+    schema = EXPLAIN_HITS_SCHEMA if explain else HITS_SCHEMA
+    hits = cand.mapInPandas(run, schema=schema)
+    if params.include_span_score:
+        hits = _compose_score(
+            hits, tokens, terms, params, phrase_prefix, doclen=doclen
+        )
+    elif params.boost != 1.0:
+        hits = hits.withColumn(
+            "score", F.col("score") * F.lit(float(params.boost))
+        )
     if top_k is not None:
         hits = hits.orderBy(F.desc("score"), "doc_id").limit(top_k)
     return hits
+
+
+def exists_lattice(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """P2: exists query — documents whose lattice field would index at
+    least one token (the analog of ES ``exists`` on the mapped field:
+    a text span with non-whitespace content).  Pure JVM plan: the span
+    projection + one trimmed-length filter, no Python, no shuffle."""
+    joined = F.concat_ws(" ", text_values_col(spans_col))
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        joined.alias("_j"),
+    ).filter(F.length(F.trim(F.col("_j"))) > 0).select("doc_id")

@@ -212,13 +212,16 @@ FROM reps JOIN (VALUES (1), (2), (3)) k(k) ON k.k <= reps.rep
 """
 
 
-def _match(spark, sf_dir, query, slop, dtype=np.float32):
+def _match(spark, sf_dir, query, slop, dtype=np.float32, **params):
+    # payload-only scoring (include_span_score=False) unless a query
+    # explicitly exercises the composed reference-default ranking
+    params.setdefault("include_span_score", False)
     toks = _tokens(spark, sf_dir)
     return match_lattice_tokens(
         toks,
         query,
         LatticeConfig(),
-        MatchLatticeParams(slop=slop),
+        MatchLatticeParams(slop=slop, **params),
         dtype=dtype,
     )
 
@@ -228,10 +231,13 @@ def q_match_ordered_2(spark, sf_dir):
     return hits.select("doc_id", F.col("n_spans").cast("long").alias("n_spans"))
 
 
-def _sql_match_chain(terms: list[str], slop: int) -> str:
+def _sql_match_chain(terms: list[str], slop: int, cte: str | None = None) -> str:
     """Greedy forward-chain enumeration (Lucene NearSpansOrdered): for each
     occurrence of term1, later terms stretch to the minimal in-order
-    positions; the span matches iff p_k - p_1 - (k-1) <= slop."""
+    positions; the span matches iff p_k - p_1 - (k-1) <= slop.  ``cte`` is
+    the abs-position token CTE (default: the lattice view; the audio view
+    passes its own)."""
+    cte = cte or _ABS_CTE
     k = len(terms)
     ctes = [
         f"t{j} AS (SELECT doc_id, abs_pos FROM abs_tokens WHERE token = '{t}')"
@@ -255,7 +261,7 @@ c{j} AS (
 )"""
         prev = f"c{j}"
     return f"""
-WITH {_ABS_CTE},
+WITH {cte},
 {", ".join(ctes)},
 {chain}
 SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_spans
@@ -282,7 +288,8 @@ def q_match_indexed_2(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="fls_idx_") + "/tokens"
     write_token_index(lattice_docs(spark, sf_dir), path, LatticeConfig())
     hits = match_lattice_indexed(
-        spark, path, "hash merge", LatticeConfig(), MatchLatticeParams(slop=5)
+        spark, path, "hash merge", LatticeConfig(),
+        MatchLatticeParams(slop=5, include_span_score=False),
     )
     return hits.select("doc_id", F.col("n_spans").cast("long").alias("n_spans"))
 
@@ -466,7 +473,7 @@ def q_match_buckets_score(spark, sf_dir):
         toks,
         "group",
         LatticeConfig(score_buckets=(0.7, 3, 0.4, 2)),
-        MatchLatticeParams(slop=0),
+        MatchLatticeParams(slop=0, include_span_score=False),
         dtype=np.float64,
     )
     return hits.select(
@@ -499,7 +506,7 @@ def q_match_unordered_2(spark, sf_dir):
         toks,
         "small key",
         LatticeConfig(),
-        MatchLatticeParams(slop=3, in_order=False),
+        MatchLatticeParams(slop=3, in_order=False, include_span_score=False),
     )
     return hits.select("doc_id")
 
@@ -512,6 +519,274 @@ SELECT DISTINCT a.doc_id
 FROM abs_tokens a JOIN abs_tokens b
   ON a.doc_id = b.doc_id AND a.token = 'small' AND b.token = 'key'
 WHERE abs(a.abs_pos - b.abs_pos) - 1 <= 3
+"""
+
+
+def _sql_match_unordered(terms: list[str], slop: int) -> str:
+    """NearSpansUnordered walk enumeration (mirrors
+    ``_unordered_matches_vec``): a posting of list i at position p emits a
+    window iff, for every other list j, the first posting with position
+    > p (j < i) / >= p (j > i) exists in the same doc and the covering
+    width satisfies the slop.  Duplicate positions within a list carry
+    multiplicity ``cnt``."""
+    k = len(terms)
+    t_ctes = [
+        f"u{j} AS (SELECT doc_id, abs_pos FROM abs_tokens WHERE token = '{t}')"
+        for j, t in enumerate(terms, start=1)
+    ]
+    g_ctes = [
+        f"g{j} AS (SELECT doc_id, abs_pos AS p, count(*) AS cnt "
+        f"FROM u{j} GROUP BY doc_id, abs_pos)"
+        for j in range(1, k + 1)
+    ]
+    branches = []
+    for i in range(1, k + 1):
+        nxt_cols, names = [], []
+        for j in range(1, k + 1):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            nxt_cols.append(
+                f"(SELECT min(u{j}.abs_pos) FROM u{j} "
+                f"WHERE u{j}.doc_id = g{i}.doc_id "
+                f"AND u{j}.abs_pos {op} g{i}.p) AS n{j}"
+            )
+            names.append(f"n{j}")
+        greatest = "greatest(p, " + ", ".join(names) + ")"
+        notnull = " AND ".join(f"{n} IS NOT NULL" for n in names)
+        branches.append(f"""
+  SELECT doc_id, cnt FROM (
+    SELECT g{i}.doc_id, g{i}.p, g{i}.cnt, {", ".join(nxt_cols)}
+    FROM g{i}
+  ) WHERE {notnull} AND ({greatest} + 1 - p) - {k} <= {slop}""")
+    return f"""
+WITH {_ABS_CTE},
+{", ".join(t_ctes)},
+{", ".join(g_ctes)}
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_spans
+FROM ({" UNION ALL ".join(branches)})
+GROUP BY doc_id
+"""
+
+
+def q_match_unordered_3(spark, sf_dir):
+    """J1 unordered, 3 terms — exercises the vectorized unordered walk
+    (the ordered dual of the reference's 3-term yml fixture,
+    20_tests.yml:70-86)."""
+    hits = _match(spark, sf_dir, "row part data", slop=5, in_order=False)
+    return hits.select(
+        "doc_id", F.col("n_spans").cast("long").alias("n_spans")
+    )
+
+
+SQL_MATCH_UNORDERED_3 = _sql_match_unordered(["row", "part", "data"], 5)
+
+
+def q_match_payload_max(spark, sf_dir):
+    """A4: payload_function='max' (MaxLatticePayloadFunction.java:26-38)."""
+    hits = _match(
+        spark, sf_dir, "key", slop=0, dtype=np.float64,
+        payload_function="max",
+    )
+    return hits.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
+def q_match_payload_min(spark, sf_dir):
+    """A5: payload_function='min' (MinLatticePayloadFunction.java:26-38)."""
+    hits = _match(
+        spark, sf_dir, "key", slop=0, dtype=np.float64,
+        payload_function="min",
+    )
+    return hits.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
+_SQL_PAYLOAD_AGG = """
+WITH {cte}
+SELECT doc_id,
+       round({agg}(1e5 * CAST(CAST(score_i / 100.0 AS REAL) AS DOUBLE)), 4)
+         AS score,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM abs_tokens WHERE token = '{term}'
+GROUP BY doc_id
+"""
+
+SQL_MATCH_PAYLOAD_MAX = _SQL_PAYLOAD_AGG.format(
+    cte=_ABS_CTE, agg="max", term="key"
+)
+SQL_MATCH_PAYLOAD_MIN = _SQL_PAYLOAD_AGG.format(
+    cte=_ABS_CTE, agg="min", term="key"
+)
+
+
+def q_match_span_score(spark, sf_dir):
+    """A7: the reference-DEFAULT ranking — include_span_score=True
+    multiplies the engine-native BM25 similarity into the payload score
+    (LatticePayloadScoreQuery.java:333-339).  Components are rounded
+    before the product so the DuckDB recomputation is bit-deterministic."""
+    hits = _match(
+        spark, sf_dir, "table", slop=0, dtype=np.float64,
+        include_span_score=True,
+    )
+    return hits.select(
+        "doc_id",
+        F.round(
+            F.round("payload_score", 4) * F.round("similarity", 6), 4
+        ).alias("score"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
+SQL_MATCH_SPAN_SCORE = f"""
+WITH {_ABS_CTE},
+doclen AS (SELECT doc_id, count(*) AS dl FROM abs_tokens GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen),
+hit AS (
+  SELECT doc_id, count(*) AS tf,
+         round(sum(1e5 * CAST(CAST(score_i / 100.0 AS REAL) AS DOUBLE)), 4)
+           AS payload
+  FROM abs_tokens WHERE token = 'table' GROUP BY doc_id
+),
+df AS (
+  SELECT count(DISTINCT doc_id) AS df FROM abs_tokens WHERE token = 'table'
+)
+SELECT h.doc_id,
+       round(h.payload * round(
+         ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+         (h.tf * 2.2) /
+         (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / (c.total_len / c.n_docs)))
+       , 6), 4) AS score,
+       CAST(h.tf AS BIGINT) AS n_spans
+FROM hit h
+JOIN doclen l ON l.doc_id = h.doc_id
+CROSS JOIN df d
+CROSS JOIN corpus c
+"""
+
+
+def q_match_boosted(spark, sf_dir):
+    """Builder ``boost`` multiplied into the final score (the reference
+    serializes it with the query, MatchLatticeQueryBuilderTests.java:136-150)."""
+    hits = _match(
+        spark, sf_dir, "stream", slop=0, dtype=np.float64, boost=2.5
+    )
+    return hits.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
+SQL_MATCH_BOOSTED = f"""
+WITH {_ABS_CTE}
+SELECT doc_id,
+       round(sum(1e5 * CAST(CAST(score_i / 100.0 AS REAL) AS DOUBLE)) * 2.5, 4)
+         AS score,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM abs_tokens WHERE token = 'stream'
+GROUP BY doc_id
+"""
+
+
+_AUDIO_ABS_CTE = f"""{ORACLE_TOKENS_CTE},
+incs AS (
+  SELECT doc_id, i, token, pos,
+         CASE WHEN lag(pos) OVER w = pos THEN 0
+              WHEN lag(i) OVER w IS NULL THEN greatest(1, i)
+              ELSE greatest(1, i - lag(i) OVER w) END AS pos_inc
+  FROM lattice
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+abs_tokens AS (
+  SELECT doc_id, i, token,
+         SUM(pos_inc) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS abs_pos
+  FROM incs
+)
+"""
+
+
+def q_match_audio_seconds(spark, sf_dir):
+    """J3: audio-format matching — ``slop_seconds`` converted to position
+    slop in float32 (MatchLatticeQueryBuilder.java:349-354; the behavioral
+    contract of 20_tests.yml:150-277).  slop_seconds=2.0 at 0.25 s/pos and
+    2 terms → effective slop floor(2.0/0.25) - 0 - 1 = 7."""
+    cfg = LatticeConfig(
+        lattice_format="audio", audio_position_increment_seconds=_AUDIO_INC
+    )
+    from full_lattice_search_spark.functions.tokenizer import lattice_tokenize
+
+    toks = lattice_tokenize(_audio_lattice_docs(spark, sf_dir), cfg)
+    hits = match_lattice_tokens(
+        toks,
+        "hash merge",
+        cfg,
+        MatchLatticeParams(slop_seconds=2.0, include_span_score=False),
+    )
+    return hits.select(
+        "doc_id", F.col("n_spans").cast("long").alias("n_spans")
+    )
+
+
+SQL_MATCH_AUDIO_SECONDS = _sql_match_chain(
+    ["hash", "merge"], 7, cte=_AUDIO_ABS_CTE
+)
+
+
+def q_match_zero_terms_all(spark, sf_dir):
+    """P5: zero_terms_query='all' — an all-whitespace query matches every
+    document with MIN_SCORE (MatchLatticeQueryBuilder zeroTermsQuery)."""
+    from full_lattice_search_spark.operators.match import match_lattice
+
+    hits = match_lattice(
+        lattice_docs(spark, sf_dir),
+        "   ",
+        LatticeConfig(),
+        MatchLatticeParams(zero_terms_query="all", include_span_score=False),
+    )
+    return hits.select(
+        "doc_id", "score", F.col("n_spans").cast("long").alias("n_spans")
+    )
+
+
+SQL_MATCH_ZERO_TERMS_ALL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(1e-6 AS DOUBLE) AS score,
+       CAST(0 AS BIGINT) AS n_spans
+FROM documents
+"""
+
+
+def q_match_exists(spark, sf_dir):
+    """P2: exists query — documents whose lattice field indexes >= 1 token.
+    Every 7th doc is replaced by a media-only document (no text span)."""
+    from full_lattice_search_spark.operators.match import exists_lattice
+
+    base = lattice_docs(spark, sf_dir)
+    media_only = F.expr(
+        "array(named_struct('kind', 'image', 'text', cast(null as string),"
+        " 'media_ref', 'media://x', 'offset', 0))"
+    )
+    docs = base.withColumn(
+        "spans",
+        F.when(F.col("doc_id").cast("long") % 7 == 0, media_only).otherwise(
+            F.col("spans")
+        ),
+    )
+    return exists_lattice(docs)
+
+
+SQL_MATCH_EXISTS = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id
+FROM documents
+WHERE doc_id % 7 <> 0 AND length(trim(text)) > 0
 """
 
 
@@ -580,7 +855,7 @@ def q_match_phrase_prefix(spark, sf_dir):
         toks,
         "hash mer",
         LatticeConfig(),
-        MatchLatticeParams(slop=5),
+        MatchLatticeParams(slop=5, include_span_score=False),
         phrase_prefix=True,
     )
     return hits.select("doc_id", F.col("n_spans").cast("long").alias("n_spans"))
@@ -1300,6 +1575,14 @@ QUERIES = {
     "match_ordered_3": q_match_ordered_3,
     "match_score_single": q_match_score_single,
     "match_topk": q_match_topk,
+    "match_unordered_3": q_match_unordered_3,
+    "match_payload_max": q_match_payload_max,
+    "match_payload_min": q_match_payload_min,
+    "match_span_score": q_match_span_score,
+    "match_boosted": q_match_boosted,
+    "match_audio_seconds": q_match_audio_seconds,
+    "match_zero_terms_all": q_match_zero_terms_all,
+    "match_exists": q_match_exists,
     "extract_best_path": q_extract_best_path,
     "prefix_match": q_prefix_match,
     "dedup_exact": q_dedup_exact,
@@ -1338,6 +1621,14 @@ ORACLES = {
     "match_ordered_3": SQL_MATCH_ORDERED_3,
     "match_score_single": SQL_MATCH_SCORE_SINGLE,
     "match_topk": SQL_MATCH_TOPK,
+    "match_unordered_3": SQL_MATCH_UNORDERED_3,
+    "match_payload_max": SQL_MATCH_PAYLOAD_MAX,
+    "match_payload_min": SQL_MATCH_PAYLOAD_MIN,
+    "match_span_score": SQL_MATCH_SPAN_SCORE,
+    "match_boosted": SQL_MATCH_BOOSTED,
+    "match_audio_seconds": SQL_MATCH_AUDIO_SECONDS,
+    "match_zero_terms_all": SQL_MATCH_ZERO_TERMS_ALL,
+    "match_exists": SQL_MATCH_EXISTS,
     "extract_best_path": SQL_EXTRACT_BEST_PATH,
     "prefix_match": SQL_PREFIX_MATCH,
     "dedup_exact": SQL_DEDUP_EXACT,

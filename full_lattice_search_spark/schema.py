@@ -49,6 +49,21 @@ HITS_SCHEMA = T.StructType(
     ]
 )
 
+# match_lattice(..., explain=True) output: per-doc hit row plus the per-span
+# score breakdown (the analog of the reference's Explanation tree,
+# LatticePayloadScoreQuery.java:316-326): doc-relative span boundaries and
+# each span's payload score, in match-enumeration order.
+EXPLAIN_HITS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("n_spans", T.IntegerType(), False),
+        T.StructField("span_start", T.ArrayType(T.LongType()), True),
+        T.StructField("span_end", T.ArrayType(T.LongType()), True),
+        T.StructField("span_score", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
 # Extraction output (north_rule): ordered main-content spans per document.
 EXTRACTED_SCHEMA = T.StructType(
     [

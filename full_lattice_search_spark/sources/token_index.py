@@ -42,12 +42,25 @@ def write_token_index(
 ) -> None:
     """Tokenize the corpus and persist the postings partitioned by token
     bucket.  One shuffle (the partitionBy write redistribution is avoided —
-    rows are appended under their partition directory per task)."""
+    rows are appended under their partition directory per task).
+
+    Also persists the per-document length table at ``{path}_doclen`` — the
+    index-statistics analog (Lucene keeps norms/doc lengths at index time).
+    Queries with ``include_span_score`` read BM25 stats from it instead of
+    re-scanning the pruned postings (which would be both wrong and a full
+    scan)."""
     config = config or LatticeConfig()
     tokens = lattice_tokenize(docs, config).withColumn(
         "token_bucket", token_bucket_col("token", n_token_buckets)
     )
     tokens.write.mode("overwrite").partitionBy("token_bucket").parquet(path)
+    (
+        docs.sparkSession.read.parquet(path)  # re-read, not re-tokenize
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{path}_doclen")
+    )
 
 
 def match_lattice_indexed(
@@ -72,4 +85,9 @@ def match_lattice_indexed(
         ).select(token_bucket_col("token", n_token_buckets).alias("b"))
         buckets = sorted({r["b"] for r in bucket_df.collect()})
         tokens = tokens.filter(F.col("token_bucket").isin(buckets))
-    return match_lattice_tokens(tokens, query, config, params, top_k=top_k)
+    doclen = None
+    if params.include_span_score:
+        doclen = spark.read.parquet(f"{index_path}_doclen")
+    return match_lattice_tokens(
+        tokens, query, config, params, top_k=top_k, doclen=doclen
+    )

@@ -68,8 +68,12 @@ def match_stream(
 
     config = config or LatticeConfig()
     docs = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
+    # payload-only scoring: BM25 corpus statistics are undefined over an
+    # unbounded stream (and the stats aggregation is not append-mode-safe);
+    # composed ranking belongs to the batch/token-index paths.
     hits = match_lattice(
-        docs, query, config, MatchLatticeParams(slop=slop)
+        docs, query, config,
+        MatchLatticeParams(slop=slop, include_span_score=False),
     )
     return (
         hits.writeStream.format("parquet")

@@ -90,3 +90,34 @@ def test_extract_direct_path_has_no_exchange(spark):
     out = extract_spans(lattice_docs(spark, "/root/testdata/sf0.001"))
     plan = plan_of(out)
     assert "Exchange" not in plan
+
+
+def test_docscan_prefilter_single_probe(spark):
+    """The doc-scan prefilter must evaluate the document-reconstruction
+    chain exactly ONCE per doc: one Contains probe on one term, not one per
+    query term (Catalyst collapses the projection into the interpreted
+    Filter, so each extra Contains re-concatenates the document)."""
+    from full_lattice_search_spark.operators.match import match_lattice
+
+    docs = synth_documents(spark, 10, seed=1, mega_every=0)
+    hits = match_lattice(
+        docs, "quick brown fox", LatticeConfig(),
+        MatchLatticeParams(include_span_score=False),
+    )
+    plan = plan_of(hits)
+    assert plan.count("concat_ws") == 1, plan
+    assert plan.count("Contains") == 1, plan
+
+
+def test_curate_no_forced_broadcast(spark):
+    """Curation must not force-broadcast corpus-sized tables (reps/dropped
+    grow with the corpus; at 10^12 docs a forced broadcast OOMs the
+    driver).  AQE may still *choose* broadcast at runtime — that's fine;
+    the logical plan just must not demand it."""
+    from full_lattice_search_spark.operators.curate import curate_documents
+
+    docs = synth_documents(spark, 30, seed=3, mega_every=0)
+    for mode in ("exact", "minhash"):
+        kept = curate_documents(docs, LatticeConfig(), dedup=mode)
+        optimized = kept._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in optimized, (mode, optimized)

@@ -146,3 +146,40 @@ def test_match_deterministic_across_parallelism(spark):
         )
     assert results[0] == results[1]
     assert len(results[0]) > 0
+
+
+def test_unordered_vec_equals_sequential_walk():
+    """The vectorized NearSpansUnordered enumeration must emit exactly the
+    sequential min-pointer walk's matches — same spans, same per-term
+    payload picks, same emission order — including duplicate positions
+    (score-bucket postings) and multi-document encodings."""
+    import numpy as np
+
+    from full_lattice_search_spark.operators.match import (
+        _DOC_STRIDE,
+        _unordered_matches_by_doc,
+        _unordered_matches_vec,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(400):
+        k = int(rng.integers(2, 5))
+        n_docs = int(rng.integers(1, 4))
+        slop = int(rng.integers(0, 8))
+        plists = []
+        for _ in range(k):
+            parts = []
+            for d in range(n_docs):
+                n = int(rng.integers(0, 8))
+                pos = np.sort(rng.integers(0, 15, size=n)) + d * _DOC_STRIDE
+                parts.append(pos)
+            pos = np.concatenate(parts)
+            scores = rng.integers(10, 99, size=len(pos)).astype(np.float32)
+            plists.append((pos.astype(np.int64), scores / 100))
+        s1, e1, sc1, d1 = _unordered_matches_by_doc(plists, slop)
+        s2, e2, sc2 = _unordered_matches_vec(plists, slop)
+        assert np.array_equal(s1, s2), trial
+        assert np.array_equal(e1, e2), trial
+        assert np.array_equal(d1, (s2 // _DOC_STRIDE).astype(np.int64)), trial
+        for a, b in zip(sc1, sc2):
+            assert np.array_equal(a, b), trial

@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--output", required=True, help="output parquet dir")
     ex.add_argument("--checkpoint", required=True, help="checkpoint table dir")
     ex.add_argument("--n-buckets", type=int, default=32)
+    ex.add_argument("--buckets-per-job", type=int, default=None,
+                    help="checkpoint granularity: commit groups of at most "
+                         "this many buckets (default: all pending in one job)")
     ex.add_argument("--salt-threshold", type=int, default=64)
     ex.add_argument("--lattice-format", default="lattice")
     ex.add_argument("--audio-inc-secs", type=float, default=0.01)
@@ -40,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--query", required=True)
     q.add_argument("--slop", type=int, default=0)
     q.add_argument("--top-k", type=int, default=10)
+    q.add_argument("--payload-only", action="store_true",
+                   help="skip the BM25 similarity factor "
+                        "(include_span_score=false)")
+    q.add_argument("--boost", type=float, default=1.0)
 
     cu = sub.add_parser("curate", help="extract + quality-filter + dedup")
     cu.add_argument("--input", required=True)
@@ -93,6 +100,7 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.n_buckets,
             config=config,
             salt_threshold=args.salt_threshold,
+            buckets_per_job=args.buckets_per_job,
         )
         print(json.dumps({"status": "ok", **metrics}))
     elif args.cmd == "curate":
@@ -118,7 +126,11 @@ def main(argv: list[str] | None = None) -> int:
             docs,
             args.query,
             LatticeConfig(),
-            MatchLatticeParams(slop=args.slop),
+            MatchLatticeParams(
+                slop=args.slop,
+                include_span_score=not args.payload_only,
+                boost=args.boost,
+            ),
             top_k=args.top_k,
         ).collect()
         print(

@@ -123,12 +123,15 @@ def minhash_signature(
         id_expr,
         tokens_col(text_col).alias("_toks"),
     ).select("doc_id", F.explode(shingles_from_tokens("_toks")).alias("sh"))
+    # conv() parses each 12-hex-char half in one codegen call; the DuckDB
+    # oracle keeps the Horner expansion (hex_to_int_expr) — same exact
+    # 48-bit integers, different engine idiom.
     hashed = sh_rows.select(
         "doc_id", F.md5("sh").alias("h")
     ).select(
         "doc_id",
-        F.expr(hex_to_int_expr("h", 1, 12)).alias("h1"),
-        F.expr(hex_to_int_expr("h", 13, 12)).alias("h2"),
+        F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring("h", 13, 12), 16, 10).cast("bigint").alias("h2"),
     )
     vals = minhash_value_exprs("h1", "h2", n_hashes)
     mins = [F.min(F.expr(v)).alias(f"m{j}") for j, v in enumerate(vals)]
@@ -149,18 +152,20 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_key):
     classic MinHash-LSH candidate generation.  Output: distinct
-    (doc_a, doc_b) with doc_a < doc_b."""
+    (doc_a, doc_b) with doc_a < doc_b.
+
+    The band key is the raw struct of ``band_rows`` minhash values — no
+    digest: struct equality is what the join needs, and Spark hashes the
+    struct natively for the exchange (an md5-of-concat key costs 2 string
+    ops per band per row and buys nothing)."""
     n_bands = n_hashes // band_rows
     bands = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col("mh")[b * band_rows + r].cast("string")
-                        for r in range(band_rows)
-                    ],
-                )
+            F.struct(
+                *[
+                    F.col("mh")[b * band_rows + r].alias(f"k{r}")
+                    for r in range(band_rows)
+                ]
             )
             for b in range(n_bands)
         ]
@@ -214,20 +219,44 @@ def simhash_signature(
 ) -> DataFrame:
     """32-bit SimHash as a '0'/'1' string.  Bit i of a token's hash is the
     parity of hex digit i of md5(token); the signature bit is the sign of
-    the (+1/−1) sum over all tokens (multiplicity counted)."""
-    hashes = f"transform(split(lower({text_col}), ' '), t -> md5(t))"
-    bits = []
-    for i in range(n_bits):
-        s = (
-            f"aggregate({hashes}, 0, (acc, h) -> acc + "
-            f"(CASE WHEN instr('13579bdf', substr(h, {i + 1}, 1)) > 0 "
-            f"THEN 1 ELSE -1 END))"
-        )
-        bits.append(f"CASE WHEN ({s}) > 0 THEN '1' ELSE '0' END")
-    sig = F.expr("concat(" + ", ".join(bits) + ")")
-    return docs.select(
-        F.col(id_col).cast("long").alias("doc_id"), sig.alias("simhash")
+    the (+1/−1) sum over all tokens (multiplicity counted).
+
+    Plan: explode tokens → ONE md5 per token → two translate() calls map
+    the 32 hex digits to a '0'/'1' parity string → n_bits substr/cast
+    columns → one groupBy with codegen sum aggregates.  (The obvious
+    nested-HOF formulation re-tokenizes and re-hashes every token once per
+    bit — 32× the work, interpreted; see CLAUDE.md.)  The shuffle carries
+    n_bits ints + a count per doc regardless of document size, with
+    map-side partial aggregation."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
     )
+    # parity string: hex digit -> '1' if odd, '0' if even (md5 once per tok)
+    par = F.translate(
+        F.translate(F.md5("tok"), "13579bdf", "11111111"),
+        "02468ace",
+        "00000000",
+    )
+    ones = toks.select(
+        "doc_id",
+        *[
+            F.substring(par, i + 1, 1).cast("int").alias(f"b{i}")
+            for i in range(n_bits)
+        ],
+    )
+    agg = ones.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(n_bits)],
+    )
+    # sum of (+1/-1) = 2*ones - n; bit = '1' iff positive
+    sig = F.concat(
+        *[
+            F.when(2 * F.col(f"s{i}") - F.col("n") > 0, "1").otherwise("0")
+            for i in range(n_bits)
+        ]
+    )
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

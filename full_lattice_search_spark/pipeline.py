@@ -9,9 +9,12 @@ partitions.  Each run:
    whole-doc path, mega-docs (``size(spans) > salt_threshold``) take the
    salted span-level path (explicit skew handling — one giant document can
    no longer pin a single task);
-3. writes output parquet partitioned by bucket (dynamic partition overwrite,
-   so a re-processed bucket replaces itself rather than duplicating);
-4. appends one lineage+metrics row per bucket to the checkpoint table.
+3. processes pending buckets in bounded groups (``buckets_per_job``): each
+   group writes its output parquet partitioned by bucket (dynamic partition
+   overwrite, so a re-processed bucket replaces itself rather than
+   duplicating) and THEN appends one lineage+metrics row per bucket to the
+   checkpoint table — a crash loses at most one group's work, and progress
+   made before the crash survives both across runs and within one.
 
 On a real cluster the same code runs over Iceberg with
 ``spark.read.format("iceberg")`` — the bucket column maps onto the table's
@@ -49,62 +52,42 @@ def completed_buckets(spark: SparkSession, checkpoint_dir: str) -> set[int]:
     return {r["bucket"] for r in rows.collect()}
 
 
-def run_extraction(
+def _process_bucket_group(
     spark: SparkSession,
     docs: DataFrame,
+    group: list[int],
     output_dir: str,
     checkpoint_dir: str,
-    n_buckets: int = 32,
-    config: LatticeConfig | None = None,
-    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
-    doc_id_col: str = "doc_id",
-    spans_col: str = "spans",
-) -> dict:
-    """Run (or resume) the extraction pipeline.  Returns run metrics."""
-    config = config or LatticeConfig()
-    run_id = uuid.uuid4().hex[:12]
+    n_buckets: int,
+    config: LatticeConfig,
+    salt_threshold: int,
+    doc_id_col: str,
+    spans_col: str,
+    run_id: str,
+) -> int:
+    """Extract + write + checkpoint one bucket group.  The checkpoint rows
+    are appended only after the group's data commit, so a crash mid-group
+    leaves its buckets "not done" (re-processed and dynamically overwritten
+    on resume) while every previously committed group stays done."""
     t0 = time.time()
-
-    done = completed_buckets(spark, checkpoint_dir)
-    pending = sorted(set(range(n_buckets)) - done)
-    if not pending:
-        return {
-            "run_id": run_id,
-            "buckets_done": len(done),
-            "buckets_processed": 0,
-            "docs": 0,
-            "wall_secs": 0.0,
-        }
-
-    bucketed = docs.withColumn("_bucket", bucket_col(doc_id_col, n_buckets))
-    if done:
-        bucketed = bucketed.filter(F.col("_bucket").isin(pending))
+    bucketed = docs.withColumn(
+        "_bucket", bucket_col(doc_id_col, n_buckets)
+    ).filter(F.col("_bucket").isin(group))
 
     is_mega = F.size(spans_col) > salt_threshold
-    small = bucketed.filter(~is_mega)
-    mega = bucketed.filter(is_mega)
-
-    out_small = extract_spans(small, config, doc_id_col=doc_id_col,
-                              spans_col=spans_col)
-    out_mega = extract_spans_salted(mega, config, doc_id_col=doc_id_col,
+    out_small = extract_spans(bucketed.filter(~is_mega), config,
+                              doc_id_col=doc_id_col, spans_col=spans_col)
+    out_mega = extract_spans_salted(bucketed.filter(is_mega), config,
+                                    doc_id_col=doc_id_col,
                                     spans_col=spans_col)
     out = out_small.unionByName(out_mega).withColumn(
         "bucket", bucket_col("doc_id", n_buckets)
     )
+    out.write.mode("overwrite").partitionBy("bucket").parquet(output_dir)
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        out.write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(output_dir)
-    )
-
-    # lineage + metrics per bucket, appended idempotently after the data
-    # commit (a crash before this append leaves the bucket "not done" → it
-    # is re-processed and dynamically overwritten on resume).
     wall = time.time() - t0
     result = spark.read.parquet(output_dir).filter(
-        F.col("bucket").isin(pending)
+        F.col("bucket").isin(group)
     )
     metrics = (
         result.groupBy("bucket")
@@ -126,9 +109,8 @@ def run_extraction(
     # buckets with zero surviving docs still need a marker row
     import pandas as pd  # local import keeps module import light
 
-    seen = {r["bucket"] for r in metrics.select("bucket").collect()}
-    empty = [b for b in pending if b not in seen]
     metrics_pdf = metrics.toPandas()
+    empty = [b for b in group if b not in set(metrics_pdf["bucket"])]
     if empty:
         empty_pdf = pd.DataFrame(
             {
@@ -145,12 +127,63 @@ def run_extraction(
     spark.createDataFrame(metrics_pdf, CHECKPOINT_SCHEMA).write.mode(
         "append"
     ).parquet(checkpoint_dir)
+    return int(metrics_pdf["n_docs"].sum())
 
-    n_docs = int(metrics_pdf["n_docs"].sum())
+
+def run_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    config: LatticeConfig | None = None,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    doc_id_col: str = "doc_id",
+    spans_col: str = "spans",
+    buckets_per_job: int | None = None,
+    _after_group=None,
+) -> dict:
+    """Run (or resume) the extraction pipeline.  Returns run metrics.
+
+    ``buckets_per_job`` bounds checkpoint granularity: pending buckets are
+    processed in groups of at most this many, each group committed (data +
+    checkpoint rows) before the next starts — a crash at bucket 31/32
+    costs one group's re-work, not the whole run.  ``None`` keeps the
+    single-job fast path (best for small corpora where per-job overhead
+    dominates).  ``_after_group(group)`` is a test hook invoked after each
+    group commit."""
+    config = config or LatticeConfig()
+    run_id = uuid.uuid4().hex[:12]
+    t0 = time.time()
+
+    done = completed_buckets(spark, checkpoint_dir)
+    pending = sorted(set(range(n_buckets)) - done)
+    if not pending:
+        return {
+            "run_id": run_id,
+            "buckets_done": len(done),
+            "buckets_processed": 0,
+            "docs": 0,
+            "wall_secs": 0.0,
+        }
+
+    size = buckets_per_job or len(pending)
+    groups = [pending[i:i + size] for i in range(0, len(pending), size)]
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    n_docs = 0
+    for group in groups:
+        n_docs += _process_bucket_group(
+            spark, docs, group, output_dir, checkpoint_dir, n_buckets,
+            config, salt_threshold, doc_id_col, spans_col, run_id,
+        )
+        if _after_group is not None:
+            _after_group(group)
+
     return {
         "run_id": run_id,
         "buckets_done": len(done),
         "buckets_processed": len(pending),
         "docs": n_docs,
-        "wall_secs": wall,
+        "wall_secs": time.time() - t0,
     }

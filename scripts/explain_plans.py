@@ -53,9 +53,24 @@ def main() -> None:
             formatted(extract_spans(docs)),
         ),
         (
-            "match_lattice (document-scan path, top-k)",
-            "JVM substring prefilter → MapInPandas → TakeOrderedAndProject; "
-            "no shuffle except the final top-k merge",
+            "match_lattice (document-scan path, payload-only, top-k)",
+            "ONE JVM substring probe (single Contains / single concat_ws — "
+            "the doc text is reconstructed once, not once per term) → "
+            "MapInPandas → TakeOrderedAndProject; no shuffle except the "
+            "final top-k merge",
+            formatted(
+                match_lattice(
+                    docs, "hash merge", LatticeConfig(),
+                    MatchLatticeParams(slop=5, include_span_score=False),
+                    top_k=10,
+                )
+            ),
+        ),
+        (
+            "match_lattice (reference-default composed scoring)",
+            "include_span_score=True: payload hits join the BM25 "
+            "similarity (doclen/df aggregates over the token stream); "
+            "score = payload_score * similarity * boost",
             formatted(
                 match_lattice(
                     docs, "hash merge", LatticeConfig(),

@@ -71,3 +71,42 @@ def test_metrics_lineage(spark, dirs):
     assert ckpt["n_docs"].sum() == 20
     assert ckpt["run_id"].nunique() == 1
     assert m["run_id"] == ckpt["run_id"].iloc[0]
+
+
+def test_crash_between_groups_preserves_progress(spark, dirs):
+    """buckets_per_job bounds checkpoint granularity: a crash after group 1
+    must leave group 1 durable, and the resume must process ONLY the
+    remaining buckets (never re-extracting completed ones)."""
+    out_dir, ckpt_dir = dirs
+    docs = synth_documents(spark, 40, seed=11, mega_every=0).cache()
+
+    class Boom(RuntimeError):
+        pass
+
+    groups_seen = []
+
+    def die_after_first(group):
+        groups_seen.append(list(group))
+        raise Boom()
+
+    with pytest.raises(Boom):
+        run_extraction(
+            spark, docs, out_dir, ckpt_dir, n_buckets=8,
+            buckets_per_job=2, _after_group=die_after_first,
+        )
+    assert groups_seen == [[0, 1]]
+    # group 1's commit survived the crash
+    assert completed_buckets(spark, ckpt_dir) == {0, 1}
+
+    m2 = run_extraction(
+        spark, docs, out_dir, ckpt_dir, n_buckets=8, buckets_per_job=2
+    )
+    assert m2["buckets_done"] == 2
+    assert m2["buckets_processed"] == 6
+    ckpt = spark.read.parquet(ckpt_dir).toPandas()
+    # exactly one checkpoint row per bucket: nothing was re-processed
+    assert sorted(ckpt["bucket"]) == list(range(8))
+    assert ckpt["run_id"].nunique() == 2
+    result = spark.read.parquet(out_dir)
+    assert result.count() == 40
+    assert result.select("doc_id").distinct().count() == 40

@@ -76,6 +76,21 @@ def brute_force_topk(
     )
 
 
+def _flip_bit(bucket_expr: str, i: int, n_dims: int) -> str:
+    """SQL for ``bucket_expr`` with character ``i`` (0-based) flipped."""
+    flipped = (
+        f"CASE WHEN substr({bucket_expr}, {i + 1}, 1) = '1' "
+        f"THEN '0' ELSE '1' END"
+    )
+    pre = f"substr({bucket_expr}, 1, {i})" if i > 0 else "''"
+    post = (
+        f"substr({bucket_expr}, {i + 2}, {n_dims - i - 1})"
+        if i < n_dims - 1
+        else "''"
+    )
+    return f"concat({pre}, {flipped}, {post})"
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -83,22 +98,41 @@ def lsh_bucket_topk(
     n_dims: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's sign bucket are
     scored.  With the corpus written partitioned by ``bucket``, the scan
-    prunes to 1/2^n_dims of the data."""
+    prunes to 1/2^n_dims of the data.
+
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's (n_dims+1 probes total) — the standard
+    recall fix for sign-LSH: a vector near a hyperplane lands on either
+    side, so the single-flip neighbours hold most of the missed
+    candidates.  The probe set stays on the tiny broadcast query side
+    (exploded), so the corpus still prunes to n_dims+1 of 2^n_dims
+    buckets."""
     corpus = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("vec"),
         sign_bucket_col(vec_col, n_dims).alias("bucket"),
     )
-    q = F.broadcast(
-        query.select(
-            F.col(id_col).cast("long").alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            sign_bucket_col(vec_col, n_dims).alias("bucket"),
-        )
+    q = query.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_bucket_col(vec_col, n_dims).alias("bucket"),
     )
+    if multi_probe:
+        variants = ["bucket"] + [
+            _flip_bit("bucket", i, n_dims) for i in range(n_dims)
+        ]
+        q = q.select(
+            "query_id",
+            "qvec",
+            F.explode(F.expr("array(" + ", ".join(variants) + ")")).alias(
+                "bucket"
+            ),
+        )
+    q = F.broadcast(q)
     scored = (
         corpus.join(q, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -144,3 +178,125 @@ def embedding_dup_pairs(
         F.round(cosine_col("a.vec", "b.vec"), 4).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, vec, cluster): assign every vector to its nearest centroid
+    by cosine (tie → lowest centroid id).
+
+    Centroids are plan-time constants (a k-row table by construction), so
+    they are collected once on the driver and inlined as literal arrays:
+    the assignment is a pure projection over the corpus scan — ZERO
+    shuffle, no join, no window.  (A crossJoin+window formulation shuffles
+    vec_id × n_centroids rows — corpus-sized × k at the design point.)
+    At scale the assignment is written partitioned by ``cluster`` so probes
+    become partition pruning — the IVF layout."""
+    cents = centroids.select("cluster_id", "cvec").collect()  # k rows
+    scored = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+    )
+    # argmax via array_max over (sim, -cluster_id) structs: max sim wins,
+    # ties resolve to the LOWEST cluster id (negation flips the tiebreak)
+    entries = []
+    for r in cents:
+        lit = "array(" + ", ".join(
+            f"cast({float(x)!r} as double)" for x in r["cvec"]
+        ) + ")"
+        sim = cosine_col("vec", lit)
+        entries.append(
+            F.struct(
+                sim.alias("s"),
+                F.lit(-int(r["cluster_id"])).alias("nc"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return scored.select(
+        "vec_id", "vec", (-best["nc"]).cast("long").alias("cluster")
+    )
+
+
+def seed_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid stand-in: the first ``n_centroids`` vectors
+    by id.  A production deployment trains centroids offline (k-means over
+    a sample — an iterative join+groupBy loop, or any external trainer) and
+    hands them to ``ivf_assign`` as a table; the IVF *serving* layout and
+    plans are independent of how the centroids were fit, and a seeded
+    choice keeps the whole path exactly reproducible cross-engine."""
+    return (
+        embeddings.orderBy(F.col(id_col).cast("long"))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).cast("long").alias("cluster_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors assigned to the query's
+    ``n_probe`` nearest centroids.  The scale path for ANN: with the
+    assignment table partitioned by cluster, each query reads
+    n_probe/n_centroids of the corpus; centroids and the probe list stay
+    broadcast-tiny."""
+    from pyspark.sql import Window
+
+    cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+
+    q = query.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+    )
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qvec",
+        "cluster_id",
+        cosine_col("qvec", "cvec").alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("cluster_id")
+    )
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", F.col("cluster_id").alias("cluster"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col("vec", "qvec"), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rn").cast("int").alias("rn")
+        )
+    )

@@ -1241,6 +1241,94 @@ FROM (
 """
 
 
+_SQL_HAMMING = "(" + " + ".join(
+    f"CASE WHEN substr({{a}}, {i + 1}, 1) <> substr({{b}}, {i + 1}, 1) "
+    f"THEN 1 ELSE 0 END"
+    for i in range(8)
+) + ")"
+
+
+def q_ann_multiprobe(spark, sf_dir):
+    """Sign-LSH with Hamming-1 multi-probe: the query probes its own bucket
+    plus the 8 single-flip neighbours (recall fix for vectors near a
+    hyperplane)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return lsh_bucket_topk(emb, query, k=5, multi_probe=True)
+
+
+SQL_ANN_MULTIPROBE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                  {_SQL_BUCKET.format(v="embedding")} AS bucket
+           FROM embeddings ORDER BY vec_id LIMIT 1),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_SQL_COS.format(a="e.embedding", b="q.qvec")}, 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+    AND {_SQL_HAMMING.format(a=_SQL_BUCKET.format(v="e.embedding"),
+                             b="q.bucket")} <= 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       cosine, CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: corpus assigned to nearest seed centroid (plan-time literal
+    centroids, zero-shuffle projection), query probes its 2 nearest
+    centroids' clusters only."""
+    from full_lattice_search_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return ivf_topk(emb, query, k=5, n_centroids=8, n_probe=2)
+
+
+SQL_ANN_IVF = f"""
+WITH cents AS (SELECT vec_id AS cluster_id, embedding AS cvec
+               FROM embeddings ORDER BY vec_id LIMIT 8),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id AS cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_SQL_COS.format(a="e.embedding", b="c.cvec")} DESC,
+                      c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings ORDER BY vec_id LIMIT 1),
+probes AS (
+  SELECT query_id, qvec, cluster_id AS cluster FROM (
+    SELECT q.query_id, q.qvec, c.cluster_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_SQL_COS.format(a="q.qvec", b="c.cvec")} DESC,
+                      c.cluster_id) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_SQL_COS.format(a="a.embedding", b="p.qvec")}, 4) AS cosine
+  FROM assigned a JOIN probes p ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       cosine, CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1593,6 +1681,8 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_multiprobe": q_ann_multiprobe,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "token_counts": q_token_counts,
@@ -1639,6 +1729,8 @@ ORACLES = {
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh": SQL_ANN_LSH,
+    "ann_multiprobe": SQL_ANN_MULTIPROBE,
+    "ann_ivf": SQL_ANN_IVF,
     "lang_id": SQL_LANG_ID,
     "quality": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,

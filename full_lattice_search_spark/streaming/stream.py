@@ -83,3 +83,78 @@ def match_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+) -> StreamingQuery:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    gap-based sessionization of an event stream.
+
+    Per ``user_id`` group state carries ``(last_ts_s, session_idx)`` across
+    micro-batches, so a session spanning a batch boundary keeps its index —
+    the semantics of the batch window formulation (q_events_sessionize),
+    incrementalized.  Input parquet schema:
+    (event_id long, user_id long, ts_s long, value double); events must
+    arrive in event-time order per user across batches (the usual
+    log-shipping contract).  Output: one row per event with its assigned
+    session index — append mode, exactly-once via the streaming checkpoint.
+
+    At scale this shuffles each micro-batch once on user_id (the state
+    partitioning) — the same exchange the batch window pays — and state per
+    key is two longs, so the state store stays tiny even at 10^9 users.
+    """
+    import pandas as pd
+
+    schema = "event_id long, user_id long, ts_s long, value double"
+    out_schema = "user_id long, event_id long, ts_s long, session_idx long"
+    state_schema = "last_ts_s long, session_idx long"
+
+    def assign(key, pdfs, state):
+        import numpy as np
+
+        (user_id,) = key
+        if state.exists:
+            last_ts, sess = state.get
+        else:
+            last_ts, sess = None, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts_s", "event_id"], kind="stable")
+            ts = pdf["ts_s"].to_numpy(dtype=np.int64)
+            prev = np.empty_like(ts)
+            prev[1:] = ts[:-1]
+            prev[0] = last_ts if last_ts is not None else ts[0]
+            new_sess = (ts - prev) > gap_seconds
+            if last_ts is None:
+                new_sess[0] = True  # first event ever starts session 1
+            idx = sess + np.cumsum(new_sess)
+            sess = int(idx[-1])
+            last_ts = int(ts[-1])
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(ts), user_id, dtype=np.int64),
+                    "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                    "ts_s": ts,
+                    "session_idx": idx.astype(np.int64),
+                }
+            )
+        state.update((last_ts, sess))
+
+    events = spark.readStream.schema(schema).parquet(input_dir)
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        assign, out_schema, state_schema, "append", "NoTimeout"
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -48,3 +48,37 @@ def test_match_stream(spark, tmp_path):
     hits = spark.read.parquet(out)
     # fixture doc 2 ("the quick brick brown fox box" CN) must match
     assert hits.filter(F.col("doc_id") == "doc-000000000002").count() == 1
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: per-user session indices must
+    survive the micro-batch boundary (state carries last_ts/session_idx),
+    matching the batch window semantics."""
+    from full_lattice_search_spark.streaming.stream import sessionize_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts_s long, value double"
+
+    # user 1: events at 0s, 600s | 5000s, 5300s (gap 1800 → two sessions);
+    # user 2: 100s | 4000s — the second arrives in wave 2 mid-state
+    wave1 = [(1, 1, 0, 1.0), (2, 1, 600, 1.0), (10, 2, 100, 1.0)]
+    wave2 = [(3, 1, 5000, 1.0), (4, 1, 5300, 1.0), (11, 2, 4000, 1.0)]
+    spark.createDataFrame(wave1, schema).write.parquet(src, mode="append")
+    q = sessionize_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    spark.createDataFrame(wave2, schema).write.parquet(src, mode="append")
+    q2 = sessionize_stream(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+
+    rows = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {
+        (1, 1): 1, (1, 2): 1,      # wave-1 session
+        (1, 3): 2, (1, 4): 2,      # new session after 4400s gap (state kept)
+        (2, 10): 1, (2, 11): 2,    # user 2 crosses the batch boundary
+    }

@@ -73,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
 
     from full_lattice_search_spark.config import LatticeConfig, MatchLatticeParams
 
+    from full_lattice_search_spark.sources.catalog import read_source
+
     if args.cmd == "datagen":
         from full_lattice_search_spark.datagen import synth_documents
 
@@ -91,7 +93,7 @@ def main(argv: list[str] | None = None) -> int:
             lattice_format=args.lattice_format,
             audio_position_increment_seconds=args.audio_inc_secs,
         )
-        docs = spark.read.parquet(args.input)
+        docs = read_source(spark, args.input)
         metrics = run_extraction(
             spark,
             docs,
@@ -106,9 +108,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "curate":
         from full_lattice_search_spark.operators.curate import curate_documents
 
-        docs = spark.read.parquet(args.input)
+        docs = read_source(spark, args.input)
         kept = curate_documents(
-            spark.read.parquet(args.input),
+            docs,
             LatticeConfig(),
             min_quality=args.min_quality,
             min_tokens=args.min_tokens,
@@ -121,7 +123,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "match":
         from full_lattice_search_spark.operators.match import match_lattice
 
-        docs = spark.read.parquet(args.input)
+        docs = read_source(spark, args.input)
         hits = match_lattice(
             docs,
             args.query,

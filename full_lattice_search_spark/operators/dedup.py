@@ -232,16 +232,22 @@ def simhash_signature(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(tokens_col(text_col)).alias("tok"),
     )
-    # parity string: hex digit -> '1' if odd, '0' if even (md5 once per tok)
-    par = F.translate(
-        F.translate(F.md5("tok"), "13579bdf", "11111111"),
-        "02468ace",
-        "00000000",
+    # parity string: hex digit -> '1' if odd, '0' if even — md5 ONCE per
+    # token, materialized in its own projection (inlining the chain into
+    # the 32 substr columns would re-hash per bit; CollapseProject keeps a
+    # multiply-referenced non-cheap expression in its own Project)
+    par = toks.select(
+        "doc_id",
+        F.translate(
+            F.translate(F.md5("tok"), "13579bdf", "11111111"),
+            "02468ace",
+            "00000000",
+        ).alias("par"),
     )
-    ones = toks.select(
+    ones = par.select(
         "doc_id",
         *[
-            F.substring(par, i + 1, 1).cast("int").alias(f"b{i}")
+            F.substring("par", i + 1, 1).cast("int").alias(f"b{i}")
             for i in range(n_bits)
         ],
     )

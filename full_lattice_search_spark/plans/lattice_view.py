@@ -25,10 +25,12 @@ from pyspark.sql import functions as F
 
 N_TOKENS = 24
 
-# Spark-side record builder (one expression, fully JVM/codegen).
-_RECORDS_EXPR = f"""
+
+def records_expr(n_tokens: int = N_TOKENS) -> str:
+    """Spark-side record builder (one expression, fully JVM/codegen)."""
+    return f"""
 transform(
-  slice(split(text, ' '), 1, {N_TOKENS}),
+  slice(split(text, ' '), 1, {n_tokens}),
   (tok, i) -> concat(
     tok, '|',
     cast(floor(2*i/3) as int), '|',
@@ -39,42 +41,55 @@ transform(
 """
 
 
-def lattice_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+_RECORDS_EXPR = records_expr()
+
+
+def lattice_docs(
+    spark: SparkSession, sf_dir: str, n_tokens: int = N_TOKENS
+) -> DataFrame:
     """documents parquet → interleaved-docs table whose single text span is
-    the derived lattice record stream."""
+    the derived lattice record stream (first ``n_tokens`` words)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.expr(
             "array(named_struct("
             "'kind', 'text', "
-            f"'text', concat_ws(' ', {_RECORDS_EXPR}), "
+            f"'text', concat_ws(' ', {records_expr(n_tokens)}), "
             "'media_ref', cast(null as string), "
             "'offset', 0))"
         ).alias("spans"),
     )
 
 
-# DuckDB-side token CTE: one row per (doc_id, i, tok, pos, rank, score).
-# ``score_i`` is the integer mantissa; score = score_i / 100.
-ORACLE_TOKENS_CTE = f"""
-toks AS (
+def oracle_tokens_cte(
+    n_tokens: int = N_TOKENS, toks: str = "toks", lattice: str = "lattice"
+) -> str:
+    """DuckDB-side token CTE: one row per (doc_id, i, tok, pos, rank,
+    score).  ``score_i`` is the integer mantissa; score = score_i / 100.
+    CTE names are parameterized so two lattice widths can coexist in one
+    query (near-duplicate planting)."""
+    return f"""
+{toks} AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          i - 1 AS i,
          ts.tok AS tok
   FROM (
-    SELECT doc_id, list_slice(string_split(text, ' '), 1, {N_TOKENS}) AS xs
+    SELECT doc_id, list_slice(string_split(text, ' '), 1, {n_tokens}) AS xs
     FROM documents
   ) d,
   LATERAL (SELECT UNNEST(d.xs) AS tok, generate_subscripts(d.xs, 1) AS i) ts
 ),
-lattice AS (
+{lattice} AS (
   SELECT doc_id, i,
          tok AS tok_raw,
          lower(tok) AS token,
          CAST(floor(2*i/3) AS BIGINT) AS pos,
          CAST(i - floor((3*floor(2*i/3) + 1)/2) AS BIGINT) AS rank,
          CAST((i*37 + length(tok)*11) % 90 + 10 AS BIGINT) AS score_i
-  FROM toks
+  FROM {toks}
 )
 """
+
+
+ORACLE_TOKENS_CTE = oracle_tokens_cte()

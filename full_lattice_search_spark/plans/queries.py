@@ -1641,6 +1641,163 @@ WHERE k.doc_id = r.keep_id
 SQL_CURATE_EXACT = _sql_curate_exact()
 
 
+def q_curate_minhash(spark, sf_dir):
+    """End-to-end curation with MINHASH dedup over the derived lattice
+    corpus: every 10th document gets a planted NEAR-duplicate (its lattice
+    rebuilt from the first 21 words instead of 24, so the extracted
+    best-path text is a high-jaccard prefix).  Exercises extract → quality
+    → minhash signatures → LSH banding → greedy drop in one plan."""
+    from full_lattice_search_spark.operators.curate import curate_documents
+
+    base = lattice_docs(spark, sf_dir)
+    near = lattice_docs(spark, sf_dir, n_tokens=21).filter(
+        F.col("doc_id").cast("long") % 10 == 0
+    ).withColumn("doc_id", F.concat(F.lit("dup-"), F.col("doc_id")))
+    docs = base.unionByName(near)
+    kept = curate_documents(
+        docs, LatticeConfig(), min_quality=0.3, min_tokens=5, dedup="minhash"
+    )
+    return kept.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
+    )
+
+
+def _sql_curate_minhash() -> str:
+    from full_lattice_search_spark.functions.text import STOPWORDS
+    from full_lattice_search_spark.plans.lattice_view import oracle_tokens_cte
+
+    stop_arr = ", ".join(f"'{m}'" for m in STOPWORDS)
+
+    def best(sfx: str, lat: str) -> str:
+        return f"""
+ranked{sfx} AS (
+  SELECT doc_id, pos, tok_raw,
+         row_number() OVER (PARTITION BY doc_id, pos
+                            ORDER BY rank, score_i DESC, i) AS rn
+  FROM {lat}
+),
+best{sfx} AS (
+  SELECT doc_id, string_agg(tok_raw, ' ' ORDER BY pos) AS text
+  FROM ranked{sfx} WHERE rn = 1 GROUP BY doc_id
+)"""
+
+    mins = ", ".join(
+        f"min({v}) AS m{j}" for j, v in enumerate(_MH_VALS)
+    )
+    band_rows = []
+    for b in range(4):
+        key = " || '|' || ".join(
+            f"CAST(m{4 * b + r} AS VARCHAR)" for r in range(4)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM mh"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+
+    return f"""
+WITH {oracle_tokens_cte(24, "toks24", "lat24")[1:]},
+{oracle_tokens_cte(21, "toks21", "lat21")[1:]},
+{best("24", "lat24")[1:]},
+{best("21", "lat21")[1:]},
+aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM best24
+  UNION ALL
+  SELECT 'dup-' || doc_id AS doc_id, text FROM best21
+  WHERE CAST(doc_id AS BIGINT) % 10 = 0
+),
+scored AS (
+  SELECT doc_id, text,
+         len(string_split(lower(text), ' ')) AS n,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains([{stop_arr}], t))) AS stops
+  FROM aug
+),
+q AS (
+  SELECT doc_id, text, n,
+         round(least(n / 100.0, 1.0) * 0.6 +
+               0.4 * (1.0 - least(stops / n * 2, 1.0)), 4) AS quality
+  FROM scored
+),
+kept AS (
+  SELECT * FROM q WHERE quality >= 0.3 AND n >= 5 AND text <> ''
+),
+ktoks AS (
+  SELECT doc_id, i - 1 AS i, ts.tok FROM (
+    SELECT doc_id, string_split(lower(text), ' ') AS xs FROM kept) d,
+  LATERAL (SELECT UNNEST(d.xs) AS tok, generate_subscripts(d.xs, 1) AS i) ts
+),
+sh AS (
+  SELECT DISTINCT t1.doc_id,
+         t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+  FROM ktoks t1
+  JOIN ktoks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+  JOIN ktoks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+),
+hx AS (SELECT doc_id, md5(sh) AS h FROM sh),
+hh AS (
+  SELECT doc_id,
+         {hex_to_int_expr("h", 1, 12, "strpos")} AS h1,
+         {hex_to_int_expr("h", 13, 12, "strpos")} AS h2
+  FROM hx
+),
+mh AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM cand)
+SELECT k.doc_id, CAST(k.n AS BIGINT) AS n_tokens, k.quality
+FROM kept k LEFT JOIN dropped d ON d.doc_id = k.doc_id
+WHERE d.doc_id IS NULL
+"""
+
+
+SQL_CURATE_MINHASH = _sql_curate_minhash()
+
+
+def q_simhash_dup_groups(spark, sf_dir):
+    """SimHash used for dedup: signature groups with >= 2 members over a
+    corpus with planted exact duplicates (same text → same 32-bit sig)."""
+    sigs = simhash_signature(_docs_with_exact_dups(spark, sf_dir))
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SQL_SIMHASH_DUP_GROUPS = f"""
+WITH {_EXACT_DUP_SQL[1:]},
+toks AS (
+  SELECT doc_id, md5(ts.tok) AS h FROM (
+    SELECT doc_id, string_split(lower(text), ' ') AS xs FROM aug) d,
+  LATERAL (SELECT UNNEST(d.xs) AS tok) ts
+),
+bits AS (
+  SELECT doc_id, bi.i AS i,
+         sum(CASE WHEN strpos('13579bdf', substr(h, bi.i + 1, 1)) > 0
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(0, 31)) AS i) bi
+  GROUP BY doc_id, bi.i
+),
+sig AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+           AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM sig GROUP BY simhash HAVING count(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1656,6 +1813,8 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "lineitem_cube": q_lineitem_cube,
     "curate_exact": q_curate_exact,
+    "curate_minhash": q_curate_minhash,
+    "simhash_dup_groups": q_simhash_dup_groups,
     "events_tumbling": q_events_tumbling,
     "extract_boilerplate": q_extract_boilerplate,
     "match_ordered_2": q_match_ordered_2,
@@ -1704,6 +1863,8 @@ ORACLES = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "lineitem_cube": SQL_LINEITEM_CUBE,
     "curate_exact": SQL_CURATE_EXACT,
+    "curate_minhash": SQL_CURATE_MINHASH,
+    "simhash_dup_groups": SQL_SIMHASH_DUP_GROUPS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "extract_boilerplate": SQL_EXTRACT_BOILERPLATE,
     "match_ordered_2": SQL_MATCH_ORDERED_2,

@@ -121,3 +121,45 @@ def test_curate_no_forced_broadcast(spark):
         kept = curate_documents(docs, LatticeConfig(), dedup=mode)
         optimized = kept._jdf.queryExecution().optimizedPlan().toString()
         assert "strategy=broadcast" not in optimized, (mode, optimized)
+
+
+def test_simhash_plan_is_codegen_aggregate(spark):
+    """The simhash rewrite must hash each token ONCE and aggregate with
+    HashAggregate (ints), not 32 interpreted aggregate() HOFs and not a
+    SortAggregate fallback."""
+    from full_lattice_search_spark.operators.dedup import simhash_signature
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    plan = plan_of(simhash_signature(docs))
+    assert plan.count("md5") == 1, plan          # one digest per token
+    assert "aggregate(" not in plan, plan        # no interpreted HOF folds
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_minhash_plan_hashaggregates_integer_mins(spark):
+    from full_lattice_search_spark.operators.dedup import minhash_signature
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "d e f g h i")], "doc_id long, text string"
+    )
+    plan = plan_of(minhash_signature(docs))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert plan.count("md5") == 1, plan          # one digest per shingle
+    assert "conv" in plan                        # codegen hex->int
+
+
+def test_ivf_assignment_has_no_exchange(spark):
+    """IVF centroids are plan-time literals: assignment must be a pure
+    projection over the scan — zero shuffles at any corpus size."""
+    from full_lattice_search_spark.operators.similarity import (
+        ivf_assign,
+        seed_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(ivf_assign(emb, seed_centroids(emb)))
+    assert "Exchange" not in plan, plan

@@ -116,6 +116,15 @@ def main() -> None:
         )
         docs_per_sec = N_BENCH_DOCS / timings["extract"]
 
+        # compute-only twin: same plan, count sink — isolates engine work
+        # from per-file commit overhead (write emits ~30 KB files at this
+        # scale, so the write number under-reports the engine)
+        timed(
+            "extract_compute",
+            lambda: extract_spans(corpus, LatticeConfig()).count(),
+        )
+        docs_per_sec_compute = N_BENCH_DOCS / timings["extract_compute"]
+
         # q_match_docs: document-scan span match over the corpus
         timed(
             "match_docs",
@@ -147,6 +156,7 @@ def main() -> None:
                     "queries": {k: round(v, 3) for k, v in timings.items()},
                     "sf": sf,
                     "docs_per_sec": round(docs_per_sec, 1),
+                    "docs_per_sec_compute": round(docs_per_sec_compute, 1),
                     "bench_docs": N_BENCH_DOCS,
                     "cpus": cpus,
                 }

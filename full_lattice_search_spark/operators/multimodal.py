@@ -87,3 +87,120 @@ def media_features(
             )
 
     return media.mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ref", T.StringType(), False),
+    ]
+)
+
+MEDIA_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("thumb", T.BinaryType(), True),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+)
+
+
+def _fake_frame_count(ref: str) -> int:
+    """Deterministic stand-in for container probing (pyav stream length):
+    2 + first-hex-digit frames.  DuckDB-reproducible."""
+    return 2 + int(hashlib.md5(ref.encode("utf-8")).hexdigest()[0], 16)
+
+
+def frame_sample(
+    docs: DataFrame,
+    every_n: int = 4,
+    doc_id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video span.
+
+    Real frame decoding (pyav/ffmpeg) is STUBBED — the frame count comes
+    from a deterministic hash and ``frame_ref`` is a pointer, not pixels —
+    but the Spark plumbing is the real thing a video pipeline needs: a
+    flatMap-shaped ``mapInPandas`` whose output row count differs from its
+    input (one row per sampled frame), partition-local, no shuffle.
+    Swapping the stub for a container probe + frame extractor changes only
+    the two marked lines."""
+    media = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.explode(
+            F.expr(f"filter({spans_col}, s -> s.kind = 'video')")
+        ).alias("s"),
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, refs, idxs = [], [], []
+            for d, r in zip(pdf["doc_id"], pdf["media_ref"]):
+                n = _fake_frame_count(r)          # STUB: container probe
+                for i in range(0, n, every_n):    # STUB: frame extract
+                    doc_ids.append(d)
+                    refs.append(r)
+                    idxs.append(i)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "media_ref": refs,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ref": [
+                        f"{r}#f{i}" for r, i in zip(refs, idxs)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def media_resize(
+    docs: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    doc_id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Resize every image span to a thumbnail.
+
+    The pixel kernel (PIL resize) is STUBBED with deterministic bytes
+    derived from md5(ref + 'WxH'); the binary-column plumbing — opaque
+    ``binary`` thumb payload + typed metadata + a DuckDB-checkable integer
+    checksum (sum of the digest's hex-digit values) — is real."""
+    media = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.explode(
+            F.expr(f"filter({spans_col}, s -> s.kind = 'image')")
+        ).alias("s"),
+    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = width * height * 3
+        for pdf in batches:
+            thumbs, sums = [], []
+            for r in pdf["media_ref"]:
+                hx = hashlib.md5(
+                    f"{r}{width}x{height}".encode("utf-8")
+                ).hexdigest()                     # STUB: PIL resize kernel
+                raw = bytes.fromhex(hx)
+                thumbs.append((raw * (n_px // len(raw) + 1))[:n_px])
+                sums.append(sum(int(c, 16) for c in hx))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].reset_index(drop=True),
+                    "media_ref": pdf["media_ref"].reset_index(drop=True),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "thumb": thumbs,
+                    "checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_RESIZE_SCHEMA)

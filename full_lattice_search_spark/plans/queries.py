@@ -740,6 +740,66 @@ SQL_MATCH_AUDIO_SECONDS = _sql_match_chain(
 )
 
 
+# A1 fixture: every 5th lattice record carries a non-numeric payload
+# ('nan') — the analog of a posting with no payload, which the reference
+# decodes to 1e-5 (FloatDecoder.java:24-44).
+_NULLPAY_RECORDS_EXPR = """
+transform(
+  slice(split(text, ' '), 1, 24),
+  (tok, i) -> concat(
+    tok, '|',
+    cast(floor(2*i/3) as int), '|',
+    cast(i - floor((3*floor(2*i/3) + 1)/2) as int), '|',
+    CASE WHEN i % 5 = 0 THEN 'nan'
+         ELSE concat('0.', cast((i*37 + length(tok)*11) % 90 + 10 as int))
+    END
+  )
+)
+"""
+
+
+def q_match_null_payload(spark, sf_dir):
+    """A1: null/undecodable payloads score as 1e-5 in the fold."""
+    from full_lattice_search_spark.functions.tokenizer import lattice_tokenize
+    from full_lattice_search_spark.operators.match import match_lattice_tokens
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct("
+            "'kind', 'text', "
+            f"'text', concat_ws(' ', {_NULLPAY_RECORDS_EXPR}), "
+            "'media_ref', cast(null as string), "
+            "'offset', 0))"
+        ).alias("spans"),
+    )
+    toks = lattice_tokenize(docs, LatticeConfig())
+    hits = match_lattice_tokens(
+        toks,
+        "table",
+        LatticeConfig(),
+        MatchLatticeParams(slop=0, include_span_score=False),
+        dtype=np.float64,
+    )
+    return hits.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
+SQL_MATCH_NULL_PAYLOAD = f"""
+WITH {ORACLE_TOKENS_CTE}
+SELECT doc_id,
+       round(sum(CASE WHEN i % 5 = 0 THEN 1e5 * 1e-5
+                      ELSE 1e5 * CAST(CAST(score_i / 100.0 AS REAL) AS DOUBLE)
+                 END), 4) AS score,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM lattice WHERE token = 'table'
+GROUP BY doc_id
+"""
+
+
 def q_match_zero_terms_all(spark, sf_dir):
     """P5: zero_terms_query='all' — an all-whitespace query matches every
     document with MIN_SCORE (MatchLatticeQueryBuilder zeroTermsQuery)."""
@@ -1456,6 +1516,84 @@ FROM documents
 """
 
 
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling plumbing (flatMap-shaped mapInPandas; frame
+    count stubbed deterministically — no video libs in this sandbox)."""
+    from full_lattice_search_spark.operators.multimodal import frame_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct('kind', 'video', 'text', cast(null as string),"
+            " 'media_ref', concat('media://vid/', cast(doc_id as string)),"
+            " 'offset', 0))"
+        ).alias("spans"),
+    )
+    frames = frame_sample(docs, every_n=4)
+    return frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_ref",
+    )
+
+
+SQL_MEDIA_FRAMES = """
+WITH vids AS (
+  SELECT doc_id, 'media://vid/' || CAST(doc_id AS VARCHAR) AS ref
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, ref,
+         2 + (strpos('0123456789abcdef', substr(md5(ref), 1, 1)) - 1) AS n
+  FROM vids
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(f.i AS BIGINT) AS frame_idx,
+       ref || '#f' || CAST(f.i AS VARCHAR) AS frame_ref
+FROM counted c, LATERAL (SELECT UNNEST(generate_series(0, c.n - 1, 4)) AS i) f
+"""
+
+
+def q_media_resize(spark, sf_dir):
+    """Image resize plumbing: binary thumb column + typed metadata + a
+    DuckDB-checkable checksum (pixel kernel stubbed deterministically)."""
+    from full_lattice_search_spark.operators.multimodal import media_resize
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct('kind', 'image', 'text', cast(null as string),"
+            " 'media_ref', concat('media://img/', cast(doc_id as string)),"
+            " 'offset', 0))"
+        ).alias("spans"),
+    )
+    rs = media_resize(docs, width=16, height=16)
+    return rs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.length("thumb").cast("long").alias("thumb_bytes"),
+        "checksum",
+    )
+
+
+SQL_MEDIA_RESIZE = """
+WITH base AS (
+  SELECT doc_id,
+         md5('media://img/' || CAST(doc_id AS VARCHAR) || '16x16') AS h
+  FROM documents
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(768 AS BIGINT) AS thumb_bytes,
+       CAST(sum(strpos('0123456789abcdef', substr(b.h, g.i, 1)) - 1)
+            AS BIGINT) AS checksum
+FROM base b, LATERAL (SELECT UNNEST(generate_series(1, 32)) AS i) g
+GROUP BY b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational breadth (engine sanity on the TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -1828,6 +1966,7 @@ QUERIES = {
     "match_span_score": q_match_span_score,
     "match_boosted": q_match_boosted,
     "match_audio_seconds": q_match_audio_seconds,
+    "match_null_payload": q_match_null_payload,
     "match_zero_terms_all": q_match_zero_terms_all,
     "match_exists": q_match_exists,
     "extract_best_path": q_extract_best_path,
@@ -1847,6 +1986,8 @@ QUERIES = {
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
+    "media_resize": q_media_resize,
     "pricing_summary": q_pricing_summary,
     "top_suppliers": q_top_suppliers,
     "events_running": q_events_running,
@@ -1878,6 +2019,7 @@ ORACLES = {
     "match_span_score": SQL_MATCH_SPAN_SCORE,
     "match_boosted": SQL_MATCH_BOOSTED,
     "match_audio_seconds": SQL_MATCH_AUDIO_SECONDS,
+    "match_null_payload": SQL_MATCH_NULL_PAYLOAD,
     "match_zero_terms_all": SQL_MATCH_ZERO_TERMS_ALL,
     "match_exists": SQL_MATCH_EXISTS,
     "extract_best_path": SQL_EXTRACT_BEST_PATH,
@@ -1897,6 +2039,8 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprints": SQL_FINGERPRINTS,
     "media_features": SQL_MEDIA_FEATURES,
+    "media_frames": SQL_MEDIA_FRAMES,
+    "media_resize": SQL_MEDIA_RESIZE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_suppliers": SQL_TOP_SUPPLIERS,
     "events_running": SQL_EVENTS_RUNNING,

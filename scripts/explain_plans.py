@@ -105,6 +105,19 @@ def main() -> None:
             "partial+final HashAggregate, scan pruned to 6 columns",
             formatted(QUERIES["pricing_summary"](spark, SF)),
         ),
+        (
+            "simhash (codegen parity aggregation)",
+            "one md5 per token, translate() parity string, 32 integer sums "
+            "in a single partial+final HashAggregate — no interpreted HOFs",
+            formatted(QUERIES["simhash"](spark, SF)),
+        ),
+        (
+            "ann_ivf (literal-centroid IVF)",
+            "cluster assignment is a pure projection (centroids are "
+            "plan-time literals — zero exchanges before the probe join); "
+            "probes broadcast",
+            formatted(QUERIES["ann_ivf"](spark, SF)),
+        ),
     ]
 
     out = ["# PLANS — formatted physical plans of the headline queries\n"]

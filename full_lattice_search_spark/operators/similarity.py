@@ -300,3 +300,88 @@ def ivf_topk(
             "query_id", "vec_id", "cosine", F.col("rn").cast("int").alias("rn")
         )
     )
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mean_decimals: int = 8,
+) -> DataFrame:
+    """Deterministic Lloyd k-means for IVF centroid training — the
+    engine's iterative-algorithm pattern: a driver-side loop of
+    fully-declarative rounds (assign = zero-shuffle literal-centroid
+    projection, update = one groupBy).
+
+    Determinism contract (what makes this exactly replayable anywhere):
+    seeds are the first ``k`` vectors by id; assignment ties break to the
+    lowest cluster id; and the mean update sums components in
+    ``decimal(28, mean_decimals)`` — decimal addition is associative, so
+    the accumulated sum is bit-identical under any partitioning/engine
+    (unlike a float sum whose partial order leaks into the result) — then
+    divides once in double (a single correctly-rounded IEEE op).  Returns
+    (cluster_id, cvec array<double>, n_members) after ``iterations``
+    rounds.
+
+    At scale each round is one corpus scan + one narrow groupBy (k rows
+    out); the loop count is a small constant — no per-row Python, no
+    lineage blow-up (each round re-plans from the literal centroids, so
+    the plan size stays O(k·dim), not O(rounds)).
+    """
+    dim_row = embeddings.select(
+        F.size(vec_col).alias("d")
+    ).head()
+    dim = int(dim_row["d"])
+    cents = [
+        (int(r["cluster_id"]), [float(x) for x in r["cvec"]])
+        for r in seed_centroids(embeddings, k, id_col, vec_col).collect()
+    ]
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+    )
+    dec = f"decimal(28,{mean_decimals})"
+    assigned = None
+    for _ in range(iterations):
+        entries = []
+        for cid, cvec in cents:
+            lit = "array(" + ", ".join(
+                f"cast({float(x)!r} as double)" for x in cvec
+            ) + ")"
+            entries.append(
+                F.struct(
+                    cosine_col("vec", lit).alias("s"),
+                    F.lit(-cid).alias("nc"),
+                )
+            )
+        best = F.array_max(F.array(*entries))
+        assigned = base.select(
+            "vec_id", "vec", (-best["nc"]).cast("long").alias("cluster")
+        )
+        # decimal sums (associative → partitioning-invariant), ONE double
+        # division — the whole mean is deterministic cross-engine
+        means = assigned.groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            *[
+                (
+                    F.sum(F.expr(f"cast(vec[{j}] as {dec})"))
+                    .cast("double")
+                    / F.count("*")
+                ).alias(f"c{j}")
+                for j in range(dim)
+            ],
+        )
+        rows = means.collect()  # k rows — plan-time constants for the
+        cents = [               # next round's zero-shuffle assignment
+            (int(r["cluster"]), [float(r[f"c{j}"]) for j in range(dim)])
+            for r in sorted(rows, key=lambda r: r["cluster"])
+        ]
+    out = [
+        (cid, cvec, next(int(r["n"]) for r in rows if r["cluster"] == cid))
+        for cid, cvec in cents
+    ]
+    return embeddings.sparkSession.createDataFrame(
+        out, "cluster_id long, cvec array<double>, n_members long"
+    )

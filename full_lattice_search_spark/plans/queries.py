@@ -1389,6 +1389,69 @@ FROM (
 """
 
 
+def q_kmeans(spark, sf_dir):
+    """Iterative algorithm on the engine: 2 Lloyd rounds of deterministic
+    k-means (decimal-sum means, lowest-id tie-breaks) — each round is a
+    zero-shuffle literal-centroid assignment + one groupBy.  The oracle
+    unrolls both iterations in SQL."""
+    from full_lattice_search_spark.operators.similarity import kmeans_train
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = kmeans_train(emb, k=4, iterations=2)
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.round(F.expr("cvec[0]"), 6).alias("c0"),
+        F.round(F.expr("cvec[1]"), 6).alias("c1"),
+    )
+
+
+def _sql_kmeans(k: int = 4, dim: int = 64) -> str:
+    def assign(cte: str, cents: str) -> str:
+        cos = _SQL_COS.format(a="e.embedding", b="c.cvec")
+        return f"""
+{cte} AS (
+  SELECT vec_id, embedding, cluster_id AS cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos} DESC, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def means(cte: str, src: str) -> str:
+        cols = ", ".join(
+            f"CAST(sum(CAST(embedding[{j + 1}] AS DECIMAL(28,8))) AS DOUBLE)"
+            f" / count(*) AS c_{j}"
+            for j in range(dim)
+        )
+        return f"""
+{cte} AS (
+  SELECT cluster AS cluster_id, count(*) AS n, {cols}
+  FROM {src} GROUP BY cluster
+)"""
+
+    lst = "list_value(" + ", ".join(f"c_{j}" for j in range(dim)) + ")"
+    return f"""
+WITH c0 AS (
+  SELECT vec_id AS cluster_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+),
+{assign("a1", "c0")[1:]},
+{means("m1", "a1")[1:]},
+c1 AS (SELECT cluster_id, {lst} AS cvec FROM m1),
+{assign("a2", "c1")[1:]},
+{means("m2", "a2")[1:]}
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n AS BIGINT) AS n_members,
+       round(c_0, 6) AS c0, round(c_1, 6) AS c1
+FROM m2
+"""
+
+
+SQL_KMEANS = _sql_kmeans()
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1981,6 +2044,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_multiprobe": q_ann_multiprobe,
     "ann_ivf": q_ann_ivf,
+    "kmeans": q_kmeans,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "token_counts": q_token_counts,
@@ -2034,6 +2098,7 @@ ORACLES = {
     "ann_lsh": SQL_ANN_LSH,
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
     "ann_ivf": SQL_ANN_IVF,
+    "kmeans": SQL_KMEANS,
     "lang_id": SQL_LANG_ID,
     "quality": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,

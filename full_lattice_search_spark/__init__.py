@@ -15,6 +15,7 @@ All computation is declared through the DataFrame API so Catalyst picks the
 physical strategy; Python appears only inside Arrow-batched pandas UDFs.
 """
 
+from full_lattice_search_spark.api import parse_match_lattice, search
 from full_lattice_search_spark.config import LatticeConfig, MatchLatticeParams
 from full_lattice_search_spark.functions.tokenizer import (
     lattice_tokenize,
@@ -28,6 +29,8 @@ __all__ = [
     "lattice_tokenize",
     "tokenize_pandas",
     "match_lattice",
+    "parse_match_lattice",
+    "search",
 ]
 
 __version__ = "0.1.0"

@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(include_span_score=false)")
     q.add_argument("--boost", type=float, default=1.0)
 
+    se = sub.add_parser(
+        "search", help="run an ES-style match_lattice JSON body"
+    )
+    se.add_argument("--input", required=True)
+    se.add_argument("--body", required=True,
+                    help='e.g. \'{"match_lattice": {"field": {"query": '
+                         '"quick fox", "slop": 2}}}\'')
+    se.add_argument("--size", type=int, default=10)
+
     cu = sub.add_parser("curate", help="extract + quality-filter + dedup")
     cu.add_argument("--input", required=True)
     cu.add_argument("--output", required=True)
@@ -120,6 +129,16 @@ def main(argv: list[str] | None = None) -> int:
         n_in = docs.count()
         n_out = spark.read.parquet(args.output).count()
         print(json.dumps({"status": "ok", "docs_in": n_in, "docs_kept": n_out}))
+    elif args.cmd == "search":
+        from full_lattice_search_spark.api import search as api_search
+
+        resp = api_search(
+            read_source(spark, args.input),
+            json.loads(args.body),
+            LatticeConfig(),
+            size=args.size,
+        )
+        print(json.dumps(resp))
     elif args.cmd == "match":
         from full_lattice_search_spark.operators.match import match_lattice
 

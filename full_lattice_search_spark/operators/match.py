@@ -716,3 +716,57 @@ def exists_lattice(
         F.col(doc_id_col).cast("string").alias("doc_id"),
         joined.alias("_j"),
     ).filter(F.length(F.trim(F.col("_j"))) > 0).select("doc_id")
+
+
+def match_snippets(
+    tokens: DataFrame,
+    query: str,
+    config: LatticeConfig | None = None,
+    params: MatchLatticeParams | None = None,
+    dtype: type = np.float32,
+) -> DataFrame:
+    """Highlight surface: the matched span windows with their token text.
+
+    Composes the explain arrays (span boundaries per hit) with the token
+    table: explode spans → doc_id-equi join with a position-range predicate
+    → ordered concat of the query-term tokens inside each window.  Returns
+    distinct (doc_id, span_start, span_end, snippet).
+
+    At scale this is one extra equi-join keyed on doc_id against the
+    already-filtered ``token IN terms`` projection — the range predicate
+    rides along as a post-join filter, never a cross product."""
+    config = config or LatticeConfig()
+    params = params or MatchLatticeParams()
+    terms, _ = _resolve(query, config, params, "default")
+    hits = match_lattice_tokens(
+        tokens, query, config, params, dtype=dtype, explain=True
+    )
+    spans = hits.select(
+        "doc_id",
+        F.explode(F.arrays_zip("span_start", "span_end")).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.span_start").alias("span_start"),
+        F.col("s.span_end").alias("span_end"),
+    ).distinct()
+    toks = tokens.filter(F.col("token").isin(terms)).select(
+        "doc_id",
+        "token",
+        F.col("abs_pos").cast("long").alias("abs_pos"),
+    ).distinct()
+    joined = spans.join(toks, "doc_id").filter(
+        (F.col("abs_pos") >= F.col("span_start"))
+        & (F.col("abs_pos") < F.col("span_end"))
+    )
+    return (
+        joined.groupBy("doc_id", "span_start", "span_end")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(abs_pos, token))), s -> s.token)"
+                ),
+            ).alias("snippet")
+        )
+    )

@@ -800,6 +800,55 @@ GROUP BY doc_id
 """
 
 
+def q_match_snippets(spark, sf_dir):
+    """Highlight surface: matched span windows joined back to their token
+    text (explain arrays + one doc_id-equi range join)."""
+    from full_lattice_search_spark.operators.match import match_snippets
+
+    toks = _tokens(spark, sf_dir)
+    snip = match_snippets(
+        toks,
+        "hash merge",
+        LatticeConfig(),
+        MatchLatticeParams(slop=5, include_span_score=False),
+    )
+    return snip.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "snippet",
+    )
+
+
+SQL_MATCH_SNIPPETS = f"""
+WITH {_ABS_CTE},
+t1 AS (SELECT doc_id, abs_pos FROM abs_tokens WHERE token = 'hash'),
+t2 AS (SELECT doc_id, abs_pos FROM abs_tokens WHERE token = 'merge'),
+c1 AS (SELECT DISTINCT doc_id, abs_pos AS p1, abs_pos AS m FROM t1),
+c2 AS (
+  SELECT c1.doc_id, c1.p1, min(t2.abs_pos) AS m
+  FROM c1 JOIN t2 ON t2.doc_id = c1.doc_id AND t2.abs_pos >= c1.m + 1
+  GROUP BY c1.doc_id, c1.p1
+),
+spans AS (
+  SELECT DISTINCT doc_id, p1 AS span_start, m + 1 AS span_end
+  FROM c2 WHERE m - p1 - 1 <= 5
+),
+qtoks AS (
+  SELECT DISTINCT doc_id, token, abs_pos FROM abs_tokens
+  WHERE token IN ('hash', 'merge')
+)
+SELECT s.doc_id,
+       CAST(s.span_start AS BIGINT) AS span_start,
+       CAST(s.span_end AS BIGINT) AS span_end,
+       string_agg(t.token, ' ' ORDER BY t.abs_pos, t.token) AS snippet
+FROM spans s JOIN qtoks t
+  ON t.doc_id = s.doc_id
+ AND t.abs_pos >= s.span_start AND t.abs_pos < s.span_end
+GROUP BY s.doc_id, s.span_start, s.span_end
+"""
+
+
 def q_match_zero_terms_all(spark, sf_dir):
     """P5: zero_terms_query='all' — an all-whitespace query matches every
     document with MIN_SCORE (MatchLatticeQueryBuilder zeroTermsQuery)."""
@@ -2030,6 +2079,7 @@ QUERIES = {
     "match_boosted": q_match_boosted,
     "match_audio_seconds": q_match_audio_seconds,
     "match_null_payload": q_match_null_payload,
+    "match_snippets": q_match_snippets,
     "match_zero_terms_all": q_match_zero_terms_all,
     "match_exists": q_match_exists,
     "extract_best_path": q_extract_best_path,
@@ -2084,6 +2134,7 @@ ORACLES = {
     "match_boosted": SQL_MATCH_BOOSTED,
     "match_audio_seconds": SQL_MATCH_AUDIO_SECONDS,
     "match_null_payload": SQL_MATCH_NULL_PAYLOAD,
+    "match_snippets": SQL_MATCH_SNIPPETS,
     "match_zero_terms_all": SQL_MATCH_ZERO_TERMS_ALL,
     "match_exists": SQL_MATCH_EXISTS,
     "extract_best_path": SQL_EXTRACT_BEST_PATH,

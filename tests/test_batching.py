@@ -1,0 +1,69 @@
+"""Arrow batching invariance: the token-table matcher's carry-over logic
+(a document split across Arrow batches mid-stream) must be invisible, and
+the two physical match paths must agree under arbitrary queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from full_lattice_search_spark.config import LatticeConfig, MatchLatticeParams
+from full_lattice_search_spark.datagen import synth_documents
+from full_lattice_search_spark.functions.tokenizer import lattice_tokenize
+from full_lattice_search_spark.operators.match import (
+    match_lattice,
+    match_lattice_tokens,
+)
+
+
+def _hits(df):
+    return sorted(
+        (r["doc_id"], round(r["score"], 6), r["n_spans"]) for r in df.collect()
+    )
+
+
+def test_match_invariant_under_tiny_arrow_batches(spark):
+    """Force Arrow to split every partition into many small batches so
+    documents straddle batch boundaries — the carry-over path must produce
+    byte-identical hits to the default batching."""
+    docs = synth_documents(spark, 80, seed=17, mega_every=10).cache()
+    toks = lattice_tokenize(docs, LatticeConfig()).cache()
+    toks.count()
+    params = MatchLatticeParams(slop=4, include_span_score=False)
+
+    baseline = _hits(match_lattice_tokens(toks, "the quick", LatticeConfig(), params))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        tiny = _hits(match_lattice_tokens(toks, "the quick", LatticeConfig(), params))
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert tiny == baseline
+    assert len(baseline) > 0
+
+
+@pytest.mark.parametrize(
+    "query,slop,in_order",
+    [
+        ("the quick", 3, True),
+        ("quick brown fox", 6, True),
+        ("fox the", 8, False),
+        ("the the", 2, False),
+        ("lazy dog jumps", 5, True),
+    ],
+)
+def test_doc_scan_and_token_paths_agree(spark, query, slop, in_order):
+    """The document-scan (fused tokenize+match) and token-table (shuffle +
+    carry-over) formulations are two physical plans of ONE operator — same
+    hits, same scores, under ordered and unordered semantics."""
+    docs = synth_documents(spark, 60, seed=23, mega_every=0).cache()
+    toks = lattice_tokenize(docs, LatticeConfig())
+    params = MatchLatticeParams(
+        slop=slop, in_order=in_order, include_span_score=False
+    )
+    via_docs = _hits(match_lattice(docs, query, LatticeConfig(), params))
+    via_toks = _hits(match_lattice_tokens(toks, query, LatticeConfig(), params))
+    assert via_docs == via_toks

@@ -149,6 +149,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     n_hashes: int = DEFAULT_N_HASHES,
     band_rows: int = DEFAULT_BAND_ROWS,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_key):
     classic MinHash-LSH candidate generation.  Output: distinct
@@ -157,7 +158,17 @@ def lsh_candidate_pairs(
     The band key is the raw struct of ``band_rows`` minhash values — no
     digest: struct equality is what the join needs, and Spark hashes the
     struct natively for the exchange (an md5-of-concat key costs 2 string
-    ops per band per row and buys nothing)."""
+    ops per band per row and buys nothing).
+
+    ``max_band_bucket``: the quadratic-blow-up guard for web-scale runs —
+    a band bucket with ``m`` members emits ``m(m-1)/2`` pairs, and real
+    corpora have degenerate buckets (boilerplate/empty-ish texts) with
+    millions of members.  Buckets larger than the cap are dropped BEFORE
+    the self-join (one map-side-combined count + a semi-join-shaped
+    filter); the standard production setting treats such buckets as
+    uninformative (near-identical boilerplate is better handled by exact
+    dedup upstream).  ``None`` (default) keeps every bucket — exact LSH
+    semantics, what the oracles check."""
     n_bands = n_hashes // band_rows
     bands = F.array(
         *[
@@ -173,6 +184,14 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc_id", F.posexplode(bands).alias("band_idx", "band_key")
     )
+    if max_band_bucket is not None:
+        small = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_band_bucket)
+            .drop("_n")
+        )
+        banded = banded.join(small, ["band_idx", "band_key"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

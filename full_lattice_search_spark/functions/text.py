@@ -118,3 +118,72 @@ def fingerprints(
         full.alias("fp_full"),
         head.alias("fp_head"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken's MOSS): hash every word k-gram, slide a
+    window of ``w`` consecutive k-gram hashes over the document, keep each
+    window's minimum — the guaranteed-density fingerprint set that makes
+    partial-overlap detection position-robust (any shared run of
+    w+k-1 tokens shares at least one selected hash).
+
+    Plan: posexplode k-grams → one md5 + conv per k-gram (codegen) → one
+    shuffle by doc for the ordered window min (min of struct(hash, pos):
+    no ties in a 48-bit space, so the selection is deterministic) →
+    distinct selected hashes, sorted, per doc.  Returns
+    (doc_id, fp: '|'-joined sorted distinct selected hashes, n_fp).
+    """
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(
+            f"""
+            transform(
+              sequence(1, greatest(size(split(lower({text_col}), ' ')) - {k - 1}, 1)),
+              i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {k}))
+            )
+            """
+        ).alias("_grams"),
+    ).select(
+        "doc_id", F.posexplode("_grams").alias("gpos", "gram")
+    )
+    hashed = grams.select(
+        "doc_id",
+        "gpos",
+        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("gpos")
+        .rowsBetween(0, w - 1)
+    )
+    n_win = Window.partitionBy("doc_id")
+    sel = hashed.withColumn("_mh", F.min("h").over(win)).withColumn(
+        "_n", F.count("*").over(n_win)
+    )
+    # only full windows select (window start i <= n-w), except short docs
+    # (< w k-grams) which contribute their single global minimum
+    sel = sel.filter(
+        (F.col("gpos") <= F.col("_n") - w)
+        | ((F.col("_n") < w) & (F.col("gpos") == 0))
+    )
+    picked = sel.select("doc_id", F.col("_mh").alias("h")).distinct()
+    return (
+        picked.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "|", F.expr("transform(array_sort(collect_list(h)), x -> cast(x as string))")
+            ).alias("fp"),
+            F.count("*").cast("long").alias("n_fp"),
+        )
+    )

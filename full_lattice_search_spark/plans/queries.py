@@ -1596,6 +1596,51 @@ FROM documents
 """
 
 
+def q_winnow(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing): window-min
+    selection over word 3-gram hashes, w=4."""
+    from full_lattice_search_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_read(spark, sf_dir, "documents"), k=3, w=4)
+
+
+def _sql_winnow(k: int = 3, w: int = 4) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS xs FROM documents
+),
+grams AS (
+  SELECT doc_id, g.i - 1 AS gpos,
+         array_to_string(list_slice(xs, g.i, g.i + {k - 1}), ' ') AS gram
+  FROM base,
+  LATERAL (SELECT UNNEST(generate_series(1,
+             greatest(len(xs) - {k - 1}, 1))) AS i) g
+),
+hx AS (SELECT doc_id, gpos, md5(gram) AS hh FROM grams),
+hashed AS (
+  SELECT doc_id, gpos, {hex_to_int_expr("hh", 1, 12, "strpos")} AS h FROM hx
+),
+winmin AS (
+  SELECT doc_id, gpos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY gpos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM hashed
+),
+picked AS (
+  SELECT DISTINCT doc_id, mh FROM winmin
+  WHERE gpos <= n - {w} OR (n < {w} AND gpos = 0)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(CAST(mh AS VARCHAR), '|' ORDER BY mh) AS fp,
+       CAST(count(*) AS BIGINT) AS n_fp
+FROM picked GROUP BY doc_id
+"""
+
+
+SQL_WINNOW = _sql_winnow()
+
+
 # ---------------------------------------------------------------------------
 # multimodal stub
 # ---------------------------------------------------------------------------
@@ -2099,6 +2144,7 @@ QUERIES = {
     "quality": q_quality,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
+    "winnow_fingerprints": q_winnow,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
@@ -2154,6 +2200,7 @@ ORACLES = {
     "quality": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprints": SQL_FINGERPRINTS,
+    "winnow_fingerprints": SQL_WINNOW,
     "media_features": SQL_MEDIA_FEATURES,
     "media_frames": SQL_MEDIA_FRAMES,
     "media_resize": SQL_MEDIA_RESIZE,

@@ -187,3 +187,86 @@ def winnow_fingerprints(
             F.count("*").cast("long").alias("n_fp"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of word n-grams that
+    are duplicates (1 - distinct/total) for n=2,3, and the most-frequent
+    token's share.  High values flag boilerplate/degenerate text for
+    pipeline filtering.  Partition-local array expressions, no shuffle;
+    the token array is materialized ONCE in its own projection (inlining
+    the split into the HOF lambdas would re-tokenize per element), and the
+    top-token share is a single O(n) fold over the sorted array rather
+    than a distinct×filter O(n²) sweep."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(_toks(text_col)).alias("_toks"),
+    )
+
+    def frac_dup(n: int, alias: str):
+        grams = (
+            f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+        )
+        return F.round(
+            F.lit(1.0)
+            - F.expr(f"size(array_distinct({grams}))")
+            / F.expr(f"size({grams})"),
+            4,
+        ).alias(alias)
+
+    # max run length over the sorted tokens == max token multiplicity
+    top_share = F.round(
+        F.expr(
+            """
+            aggregate(
+              array_sort(_toks),
+              named_struct('prev', '', 'cur', 0, 'best', 0),
+              (a, t) -> named_struct(
+                'prev', t,
+                'cur', CASE WHEN t = a.prev THEN a.cur + 1 ELSE 1 END,
+                'best', greatest(a.best,
+                        CASE WHEN t = a.prev THEN a.cur + 1 ELSE 1 END)),
+              a -> a.best
+            )
+            """
+        )
+        / F.expr("size(_toks)"),
+        4,
+    )
+    return base.select(
+        "doc_id",
+        frac_dup(2, "frac_dup_2gram"),
+        frac_dup(3, "frac_dup_3gram"),
+        top_share.alias("top_token_share"),
+    )
+
+
+# conservative, RE2-and-Java-compatible patterns (no lookaround)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^ ]+"
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Training-data hygiene: replace emails/URLs with typed placeholders
+    and count the redactions.  Codegen regexp_replace over the scan —
+    the standard pre-training scrub pass, shuffle-free."""
+    n_email = F.expr(
+        f"size(regexp_extract_all({text_col}, '{PII_EMAIL_RE}', 0))"
+    )
+    n_url = F.expr(f"size(regexp_extract_all({text_col}, '{PII_URL_RE}', 0))")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+        PII_URL_RE,
+        "<URL>",
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        clean.alias("clean_text"),
+        n_email.cast("long").alias("n_emails"),
+        n_url.cast("long").alias("n_urls"),
+    )

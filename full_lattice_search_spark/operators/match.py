@@ -770,3 +770,86 @@ def match_snippets(
             ).alias("snippet")
         )
     )
+
+
+def match_lattice_many(
+    tokens: DataFrame,
+    queries: list[tuple[str, str]],
+    config: LatticeConfig | None = None,
+    params: MatchLatticeParams | None = None,
+    dtype: type = np.float32,
+) -> DataFrame:
+    """Batch execution of many standing queries in ONE pass — the
+    percolator-shaped operator: at 10^12 documents, N queries as N jobs
+    cost N corpus scans; this costs one.
+
+    ``queries``: (query_id, query_text) pairs sharing ``params``.  The scan
+    filter is ``token IN union(all query terms)`` (still pushed down); one
+    shuffle co-locates each doc's candidate rows; the per-batch matcher
+    then runs each query's span DP over the already-localized postings
+    (pure numpy — the marginal cost per extra query is the DP, not IO).
+    Output: (query_id, doc_id, score, n_spans), payload-only scoring
+    (compose BM25 per query downstream if needed — corpus statistics are
+    query-independent)."""
+    from pyspark.sql import types as T
+
+    config = config or LatticeConfig()
+    params = params or MatchLatticeParams()
+    if params.include_span_score:
+        raise ValueError(
+            "match_lattice_many scores payload-only; compose BM25 per "
+            "query downstream (corpus statistics are query-independent)"
+        )
+    analyzed: list[tuple[str, list[str], int]] = []
+    union_terms: set[str] = set()
+    for qid, qtext in queries:
+        terms = analyze_query(qtext, config)
+        if not terms:
+            continue
+        slop = params.effective_slop(config, len(terms))
+        analyzed.append((qid, terms, slop))
+        union_terms.update(terms)
+    schema = T.StructType(
+        [T.StructField("query_id", T.StringType(), False)]
+        + list(HITS_SCHEMA.fields)
+    )
+    spark = tokens.sparkSession
+    if not analyzed:
+        return spark.createDataFrame([], schema)
+
+    cand = tokens.filter(
+        F.col("token").isin(sorted(union_terms))
+    ).select("doc_id", "token", "abs_pos", "score", "seq")
+    n_part = spark.sparkContext.defaultParallelism
+    cand = cand.repartition(n_part, "doc_id").sortWithinPartitions(
+        "doc_id", "abs_pos", "seq"
+    )
+    in_order, pf, ln = params.in_order, params.payload_function, (
+        params.payload_length_norm_factor
+    )
+
+    def run_queries(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        for qid, terms, slop in analyzed:
+            out = match_tokens_pandas(
+                pdf, terms, slop, in_order, pf, ln, dtype
+            )
+            out.insert(0, "query_id", qid)
+            yield out
+
+    def run(batches) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_doc = pdf["doc_id"].iloc[-1]
+            tail_mask = pdf["doc_id"] == last_doc
+            carry = pdf[tail_mask]
+            head = pdf[~tail_mask]
+            if len(head):
+                yield from run_queries(head)
+        if carry is not None and len(carry):
+            yield from run_queries(carry)
+
+    return cand.mapInPandas(run, schema=schema)

@@ -849,6 +849,47 @@ GROUP BY s.doc_id, s.span_start, s.span_end
 """
 
 
+def q_match_many(spark, sf_dir):
+    """Percolator-shaped batch matching: 3 standing queries, one scan/one
+    shuffle (token IN union-of-terms), per-query span DP over the
+    co-located postings."""
+    from full_lattice_search_spark.operators.match import match_lattice_many
+
+    toks = _tokens(spark, sf_dir)
+    hits = match_lattice_many(
+        toks,
+        [("q_hm", "hash merge"), ("q_kod", "key order data"), ("q_t", "table")],
+        LatticeConfig(),
+        MatchLatticeParams(slop=8, include_span_score=False),
+    )
+    return hits.select(
+        "query_id", "doc_id", F.col("n_spans").cast("long").alias("n_spans")
+    )
+
+
+def _sql_match_many() -> str:
+    parts = []
+    for qid, terms in (
+        ("q_hm", ["hash", "merge"]),
+        ("q_kod", ["key", "order", "data"]),
+        ("q_t", ["table"]),
+    ):
+        if len(terms) == 1:
+            inner = f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM abs_tokens WHERE token = '{terms[0]}' GROUP BY doc_id"""
+            body = f"WITH {_ABS_CTE} {inner}"
+        else:
+            body = _sql_match_chain(terms, 8)
+        parts.append(
+            f"SELECT '{qid}' AS query_id, doc_id, n_spans FROM ({body})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_MATCH_MANY = _sql_match_many()
+
+
 def q_match_zero_terms_all(spark, sf_dir):
     """P5: zero_terms_query='all' — an all-whitespace query matches every
     document with MIN_SCORE (MatchLatticeQueryBuilder zeroTermsQuery)."""
@@ -1596,6 +1637,97 @@ FROM documents
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters over planted degenerate docs
+    (every 3rd document's text doubled)."""
+    from full_lattice_search_spark.functions.text import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return repetition_stats(docs)
+
+
+SQL_REPETITION = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text ELSE text END
+           AS text
+  FROM documents
+),
+base AS (SELECT doc_id, string_split(lower(text), ' ') AS xs FROM aug),
+grams AS (
+  SELECT doc_id,
+         [array_to_string(list_slice(xs, i, i + 1), ' ')
+          for i in generate_series(1, greatest(len(xs) - 1, 1))] AS g2,
+         [array_to_string(list_slice(xs, i, i + 2), ' ')
+          for i in generate_series(1, greatest(len(xs) - 2, 1))] AS g3,
+         len(xs) AS n
+  FROM base
+),
+mult AS (
+  SELECT b.doc_id, max(cnt) AS top FROM (
+    SELECT doc_id, t.tok, count(*) AS cnt
+    FROM base, LATERAL (SELECT UNNEST(base.xs) AS tok) t
+    GROUP BY doc_id, t.tok
+  ) b GROUP BY b.doc_id
+)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       round(1.0 - len(list_distinct(g2)) / len(g2), 4) AS frac_dup_2gram,
+       round(1.0 - len(list_distinct(g3)) / len(g3), 4) AS frac_dup_3gram,
+       round(m.top / g.n, 4) AS top_token_share
+FROM grams g JOIN mult m ON m.doc_id = g.doc_id
+"""
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrub pass over planted emails/URLs (every 4th doc gets an
+    email, every 6th a URL)."""
+    from full_lattice_search_spark.functions.text import redact_pii
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" contact me@example.com now")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit(" see https://ex.org/path ok")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return redact_pii(docs)
+
+
+SQL_REDACT_PII = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 4 = 0 THEN ' contact me@example.com now'
+              ELSE '' END ||
+         CASE WHEN doc_id % 6 = 0 THEN ' see https://ex.org/path ok'
+              ELSE '' END AS text
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         'https?://[^ ]+', '<URL>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT)
+         AS n_urls
+FROM aug
+"""
+
+
 def q_winnow(spark, sf_dir):
     """Rolling-hash document fingerprinting (winnowing): window-min
     selection over word 3-gram hashes, w=4."""
@@ -2125,6 +2257,7 @@ QUERIES = {
     "match_audio_seconds": q_match_audio_seconds,
     "match_null_payload": q_match_null_payload,
     "match_snippets": q_match_snippets,
+    "match_many": q_match_many,
     "match_zero_terms_all": q_match_zero_terms_all,
     "match_exists": q_match_exists,
     "extract_best_path": q_extract_best_path,
@@ -2145,6 +2278,8 @@ QUERIES = {
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "winnow_fingerprints": q_winnow,
+    "repetition_stats": q_repetition,
+    "redact_pii": q_redact_pii,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
@@ -2181,6 +2316,7 @@ ORACLES = {
     "match_audio_seconds": SQL_MATCH_AUDIO_SECONDS,
     "match_null_payload": SQL_MATCH_NULL_PAYLOAD,
     "match_snippets": SQL_MATCH_SNIPPETS,
+    "match_many": SQL_MATCH_MANY,
     "match_zero_terms_all": SQL_MATCH_ZERO_TERMS_ALL,
     "match_exists": SQL_MATCH_EXISTS,
     "extract_best_path": SQL_EXTRACT_BEST_PATH,
@@ -2201,6 +2337,8 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprints": SQL_FINGERPRINTS,
     "winnow_fingerprints": SQL_WINNOW,
+    "repetition_stats": SQL_REPETITION,
+    "redact_pii": SQL_REDACT_PII,
     "media_features": SQL_MEDIA_FEATURES,
     "media_frames": SQL_MEDIA_FRAMES,
     "media_resize": SQL_MEDIA_RESIZE,

@@ -95,7 +95,7 @@ def main() -> None:
         for name in op_queries:
             Q.QUERIES[name](spark, warm_dir).count()
 
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
         def timed(name: str, action) -> None:
             # min over repeats: the host is multi-tenant and noisy; the

@@ -163,3 +163,18 @@ def test_ivf_assignment_has_no_exchange(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = plan_of(ivf_assign(emb, seed_centroids(emb)))
     assert "Exchange" not in plan, plan
+
+
+def test_every_registered_query_is_arrow_only_and_cartesian_free(spark):
+    """Blanket invariant over the WHOLE driver-contract surface: every
+    queries() plan must be free of row-at-a-time Python and of
+    un-broadcast cartesian products.  (Broadcast nested-loop joins against
+    deliberately tiny sides — ANN query sets, corpus-stat rows — are the
+    sanctioned shape.)"""
+    from full_lattice_search_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in Q.QUERIES.items():
+        plan = plan_of(fn(spark, sf))
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -619,6 +619,7 @@ def match_lattice_tokens(
     query_analyzer: str = "default",
     explain: bool = False,
     doclen: DataFrame | None = None,
+    assume_doc_clustered: bool = False,
 ) -> DataFrame:
     """Token-table match: ``token IN terms`` filter (pushed down to the
     scan) → shuffle by doc_id → per-doc span DP via ``applyInPandas``.
@@ -660,10 +661,18 @@ def match_lattice_tokens(
     # batch (a per-doc applyInPandas would pay one UDF call per document).
     # Arrow may still split a partition into multiple batches mid-document,
     # so incomplete trailing docs are carried over to the next batch.
-    n_part = tokens.sparkSession.sparkContext.defaultParallelism
-    cand = cand.repartition(n_part, "doc_id").sortWithinPartitions(
-        "doc_id", "abs_pos", "seq"
-    )
+    #
+    # ``assume_doc_clustered``: the caller guarantees each document's rows
+    # are already contiguous-and-sorted within one input split (a table
+    # written ``bucketBy(n, doc_id).sortBy(doc_id, abs_pos, seq)``, or an
+    # Iceberg table with a doc_id bucket transform + sort order) — the
+    # exchange AND the sort disappear; the match becomes a pure scan →
+    # ArrowEval map, the zero-shuffle index path at 100 TB.
+    if not assume_doc_clustered:
+        n_part = tokens.sparkSession.sparkContext.defaultParallelism
+        cand = cand.repartition(n_part, "doc_id").sortWithinPartitions(
+            "doc_id", "abs_pos", "seq"
+        )
 
     def run(batches) -> "pd.DataFrame":
         carry: pd.DataFrame | None = None

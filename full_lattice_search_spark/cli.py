@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--min-tokens", type=int, default=3)
     cu.add_argument("--dedup", choices=["exact", "minhash", "none"],
                     default="exact")
+    cu.add_argument("--max-band-bucket", type=int, default=None,
+                    help="minhash only: drop LSH band buckets larger than "
+                         "this before the self-join (boilerplate guard)")
     return p
 
 
@@ -124,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             min_tokens=args.min_tokens,
             dedup=args.dedup,
+            max_band_bucket=args.max_band_bucket,
         )
         kept.write.mode("overwrite").parquet(args.output)
         n_in = docs.count()

@@ -70,6 +70,7 @@ def curate_documents(
     min_quality: float = 0.2,
     min_tokens: int = 3,
     dedup: str = "exact",
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Returns (doc_id, text, n_tokens, quality) for surviving documents."""
     if dedup not in ("exact", "minhash", "none"):
@@ -105,6 +106,8 @@ def curate_documents(
     # Plain left_anti — the dropped-id side grows with the corpus dup rate
     # (30-50% on web data), so the join strategy is left to AQE.
     sigs = minhash_signature(kept, id_cast=None)
-    pairs = lsh_candidate_pairs(sigs)  # doc_a < doc_b (lexical on strings)
+    # doc_a < doc_b (lexical on strings); max_band_bucket guards the
+    # band self-join against degenerate boilerplate buckets at scale
+    pairs = lsh_candidate_pairs(sigs, max_band_bucket=max_band_bucket)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return kept.join(dropped, "doc_id", "left_anti")

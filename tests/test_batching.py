@@ -67,3 +67,24 @@ def test_doc_scan_and_token_paths_agree(spark, query, slop, in_order):
     via_docs = _hits(match_lattice(docs, query, LatticeConfig(), params))
     via_toks = _hits(match_lattice_tokens(toks, query, LatticeConfig(), params))
     assert via_docs == via_toks
+
+
+def test_brute_force_arrow_equals_hof_path(spark):
+    """The BLAS (numpy matmul) brute-force ANN variant must return exactly
+    the HOF-expression path's top-k (same cosine rounding, same
+    tie-breaks), for multiple simultaneous queries."""
+    from full_lattice_search_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(3)
+    key = lambda df: sorted(
+        (r["query_id"], r["rn"], r["vec_id"], r["cosine"])
+        for r in df.collect()
+    )
+    hof = key(brute_force_topk(emb, queries, k=7))
+    blas = key(brute_force_topk_arrow(emb, queries, k=7))
+    assert hof == blas
+    assert len(hof) == 21

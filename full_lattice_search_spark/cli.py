@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(include_span_score=false)")
     q.add_argument("--boost", type=float, default=1.0)
 
+    ix = sub.add_parser(
+        "index", help="materialize the token index (postings + stats)"
+    )
+    ix.add_argument("--input", required=True)
+    ix.add_argument("--output", required=True, help="token index path")
+    ix.add_argument("--token-buckets", type=int, default=64)
+    ix.add_argument("--lattice-format", default="lattice")
+    ix.add_argument("--audio-inc-secs", type=float, default=0.01)
+
     se = sub.add_parser(
         "search", help="run an ES-style match_lattice JSON body"
     )
@@ -133,6 +142,22 @@ def main(argv: list[str] | None = None) -> int:
         n_in = docs.count()
         n_out = spark.read.parquet(args.output).count()
         print(json.dumps({"status": "ok", "docs_in": n_in, "docs_kept": n_out}))
+    elif args.cmd == "index":
+        from full_lattice_search_spark.sources.token_index import (
+            write_token_index,
+        )
+
+        config = LatticeConfig(
+            lattice_format=args.lattice_format,
+            audio_position_increment_seconds=args.audio_inc_secs,
+        )
+        docs = read_source(spark, args.input)
+        write_token_index(
+            docs, args.output, config, n_token_buckets=args.token_buckets
+        )
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"status": "ok", "postings": n,
+                          "token_buckets": args.token_buckets}))
     elif args.cmd == "search":
         from full_lattice_search_spark.api import search as api_search
 

@@ -548,6 +548,13 @@ def match_lattice(
     """
     config = config or LatticeConfig()
     params = params or MatchLatticeParams()
+    if params.include_span_score and docs.isStreaming:
+        raise ValueError(
+            "include_span_score=True needs corpus statistics, which are "
+            "undefined over an unbounded stream; pass "
+            "include_span_score=False for streaming matches (see "
+            "streaming/stream.py:match_stream)"
+        )
     terms, slop = _resolve(query, config, params, query_analyzer)
 
     spark = docs.sparkSession

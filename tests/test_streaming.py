@@ -82,3 +82,22 @@ def test_sessionize_stream_stateful(spark, tmp_path):
         (1, 3): 2, (1, 4): 2,      # new session after 4400s gap (state kept)
         (2, 10): 1, (2, 11): 2,    # user 2 crosses the batch boundary
     }
+
+
+def test_streaming_composed_scoring_rejected(spark, tmp_path):
+    """include_span_score over an unbounded stream must fail fast with a
+    clear message, not blow up mid-plan in the state checker."""
+    import pytest
+
+    from full_lattice_search_spark.config import (
+        LatticeConfig,
+        MatchLatticeParams,
+    )
+    from full_lattice_search_spark.operators.match import match_lattice
+    from full_lattice_search_spark.schema import DOCUMENTS_SCHEMA
+
+    src = str(tmp_path / "src")
+    synth_documents(spark, 5, seed=1, mega_every=0).write.parquet(src)
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src)
+    with pytest.raises(ValueError, match="unbounded stream"):
+        match_lattice(stream, "quick", LatticeConfig(), MatchLatticeParams())

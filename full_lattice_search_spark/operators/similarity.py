@@ -333,6 +333,8 @@ def kmeans_train(
     lineage blow-up (each round re-plans from the literal centroids, so
     the plan size stays O(k·dim), not O(rounds)).
     """
+    if iterations < 1:
+        raise ValueError("kmeans_train needs iterations >= 1")
     dim_row = embeddings.select(
         F.size(vec_col).alias("d")
     ).head()
@@ -346,7 +348,6 @@ def kmeans_train(
         F.col(vec_col).alias("vec"),
     )
     dec = f"decimal(28,{mean_decimals})"
-    assigned = None
     for _ in range(iterations):
         entries = []
         for cid, cvec in cents:

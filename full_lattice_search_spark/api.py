@@ -159,22 +159,30 @@ def search(
 
     parsed = parse_match_lattice(body)
     t0 = time.time()
-    hits = match_lattice(
+    # Collect one row beyond `size`: if it exists, the corpus has more
+    # matches than the page and the ES contract requires relation 'gte'
+    # rather than asserting the page length as the exact total.
+    overfetch = match_lattice(
         docs,
         str(parsed.query),
         config or LatticeConfig(),
         parsed.params,
-        top_k=size,
+        top_k=size + 1,
         doc_id_col=doc_id_col,
         spans_col=spans_col,
         query_analyzer=parsed.analyzer or "default",
     ).collect()
     took_ms = int((time.time() - t0) * 1000)
+    truncated = len(overfetch) > size
+    hits = overfetch[:size]
     return {
         "took": took_ms,
         "timed_out": False,
         "hits": {
-            "total": {"value": len(hits), "relation": "eq"},
+            "total": {
+                "value": len(hits),
+                "relation": "gte" if truncated else "eq",
+            },
             "max_score": max((r["score"] for r in hits), default=None),
             "hits": [
                 {

@@ -255,10 +255,15 @@ def redact_pii(
     """Training-data hygiene: replace emails/URLs with typed placeholders
     and count the redactions.  Codegen regexp_replace over the scan —
     the standard pre-training scrub pass, shuffle-free."""
-    n_email = F.expr(
-        f"size(regexp_extract_all({text_col}, '{PII_EMAIL_RE}', 0))"
+    # Column-API patterns (F.lit) — interpolating the regex into an F.expr()
+    # SQL string would strip the backslash from '\.' at parse time, making the
+    # counts match a *different* pattern than the replacements below.
+    n_email = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), F.lit(0))
     )
-    n_url = F.expr(f"size(regexp_extract_all({text_col}, '{PII_URL_RE}', 0))")
+    n_url = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(PII_URL_RE), F.lit(0))
+    )
     clean = F.regexp_replace(
         F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
         PII_URL_RE,

@@ -806,7 +806,13 @@ def match_lattice_many(
     (pure numpy — the marginal cost per extra query is the DP, not IO).
     Output: (query_id, doc_id, score, n_spans), payload-only scoring
     (compose BM25 per query downstream if needed — corpus statistics are
-    query-independent)."""
+    query-independent).
+
+    Zero-term queries (all stopwords/whitespace) honor
+    ``params.zero_terms_query`` exactly like ``match_lattice``: 'none'
+    contributes no rows for that query_id; 'all' emits a MIN_SCORE row per
+    distinct document (one extra distinct over the token table, only paid
+    when such a query is present)."""
     from pyspark.sql import types as T
 
     config = config or LatticeConfig()
@@ -817,10 +823,12 @@ def match_lattice_many(
             "query downstream (corpus statistics are query-independent)"
         )
     analyzed: list[tuple[str, list[str], int]] = []
+    zero_qids: list[str] = []
     union_terms: set[str] = set()
     for qid, qtext in queries:
         terms = analyze_query(qtext, config)
         if not terms:
+            zero_qids.append(qid)
             continue
         slop = params.effective_slop(config, len(terms))
         analyzed.append((qid, terms, slop))
@@ -830,7 +838,27 @@ def match_lattice_many(
         + list(HITS_SCHEMA.fields)
     )
     spark = tokens.sparkSession
+    zero_hits = None
+    if zero_qids and params.zero_terms_query == "all":
+        qdf = spark.createDataFrame(
+            [(q,) for q in zero_qids], schema="query_id string"
+        )
+        zero_hits = (
+            tokens.select("doc_id")
+            .distinct()
+            .crossJoin(F.broadcast(qdf))
+            .select(
+                "query_id",
+                F.col("doc_id").cast("string").alias("doc_id"),
+                F.lit(float(MIN_SCORE) * params.boost)
+                .cast("double")
+                .alias("score"),
+                F.lit(0).cast("int").alias("n_spans"),
+            )
+        )
     if not analyzed:
+        if zero_hits is not None:
+            return zero_hits
         return spark.createDataFrame([], schema)
 
     cand = tokens.filter(
@@ -868,4 +896,7 @@ def match_lattice_many(
         if carry is not None and len(carry):
             yield from run_queries(carry)
 
-    return cand.mapInPandas(run, schema=schema)
+    matched = cand.mapInPandas(run, schema=schema)
+    if zero_hits is not None:
+        matched = matched.unionByName(zero_hits)
+    return matched

@@ -402,11 +402,18 @@ def brute_force_topk_arrow(
     against the (driver-collected, tiny) query matrix, per-partition top-k
     inside the UDF, global top-k merge after.
 
-    Same results as ``brute_force_topk`` (tested equal); wins when
-    dim × |queries| is large enough that vectorized FMA beats the per-
-    element HOF interpreter — the crossover the module docstring
-    describes.  Shuffle budget: zero until the final per-query merge of
-    (num_partitions × k) candidate rows."""
+    Same results as ``brute_force_topk`` on the test fixtures — but that
+    equality is EMPIRICAL, not arithmetic-guaranteed: numpy/BLAS accumulates
+    the dot product in SIMD/blocked order while the HOF path folds strictly
+    left-to-right, so the two can differ by ~1 ULP, and a ULP that lands
+    exactly on a 0.00005 rounding boundary would flip the 4-decimal cosine
+    (and with it top-k membership / tie order).  Use ``brute_force_topk``
+    when bit-stability across backends is a requirement; the equivalence
+    test tolerates exactly this boundary case.  Wins when dim × |queries|
+    is large enough that vectorized FMA beats the per-element HOF
+    interpreter — the crossover the module docstring describes.  Shuffle
+    budget: zero until the final per-query merge of (num_partitions × k)
+    candidate rows."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window

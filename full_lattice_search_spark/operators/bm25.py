@@ -91,3 +91,61 @@ def bm25_scores(
             "doc_id", F.round("bm25", round_to).alias("bm25")
         )
     return scored
+
+
+def lucene_legacy_span_similarity(
+    dfs: list[int],
+    n_docs: int,
+    dl: int,
+    avgdl: float,
+    width: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    boost: float = 1.0,
+) -> float:
+    """Reference-parity MODEL of the similarity the reference multiplies
+    into the payload score (``LatticePayloadScoreQuery.java:328-339``
+    ``getSpanScore()`` → Lucene ``SpanScorer.scoreCurrentDoc``): the exact
+    ES-7.3 / Lucene-8.1 span-query similarity, reconstructed from the two
+    published end-to-end scores in the reference README (``README.md:291``
+    36.987705, ``README.md:393`` 9041.438) and pinned to float32.  Used by
+    the parity goldens (FIXTURES.md §6) to quantify the delta between the
+    engine's relational BM25 (``bm25_scores`` above) and Lucene's; not part
+    of the query path.
+
+    The reconstructed flavor (each element verified against the README
+    scores to < 1e-6 relative, the residual being float32 association
+    order inside Lucene):
+
+    - **LegacyBM25Similarity**: ES 7.x preserves the classic (k1+1)
+      numerator that Lucene 8 removed, by folding (k1+1) into the boost.
+    - **idf** = Σ_terms ln(1 + (N − df + 0.5)/(df + 0.5)) — summed over
+      the span query's terms.
+    - **freq** = 1/(1 + width) where width is the span's total gap count
+      (Lucene sloppy-freq of the ONE matched span; per-span, summed over
+      spans when a doc has several).
+    - **dl** comes from the norm, which discounts overlap tokens
+      (posinc=0 lattice alternatives do NOT count), while **avgdl** =
+      sumTotalTermFreq/docCount counts every token — so the two disagree
+      on any lattice corpus by construction.
+    - all of it composed in float32.
+
+    The engine's ``bm25_scores`` deliberately differs: classic (k1+1)
+    numerator but tf = occurrence count (not sloppy freq), dl = total
+    token count for both dl and avgdl, float64 relational math.
+    """
+    import math
+
+    import numpy as np
+
+    f32 = np.float32
+    idf = f32(
+        sum(
+            math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) for df in dfs
+        )
+    )
+    weight = f32(f32(boost * (k1 + 1.0)) * idf)
+    norm = k1 * (1.0 - b + b * float(dl) / float(f32(avgdl)))
+    freq = f32(1.0 / (1.0 + width))
+    tfn = f32(float(freq) / (float(freq) + norm))
+    return float(f32(weight * tfn))

@@ -519,6 +519,80 @@ def _compose_score(
     return scored.select(*front, *rest)
 
 
+def _compose_from_stats(stats: DataFrame, boost: float) -> DataFrame:
+    """A7 composition from the SINGLE tokenize pass: ``stats`` is the
+    per-document output of the fused tokenize+match+stats kernel
+    (SPAN_STATS_SCHEMA) — payload-score hit fields plus the raw corpus
+    statistics (dl, per-query-term tf).  BM25 is assembled from those
+    columns with the same formula/constants as ``bm25_scores``:
+
+    - corpus aggregate (n_docs with >=1 token, total token count): one
+      tiny all-to-one agg, broadcast back;
+    - per-term df: explode of the (at most |terms|+prefix-expansions)-entry
+      tf arrays, grouped by token — a vocabulary-sized result, broadcast;
+    - per-doc similarity: sum of idf*tf_norm over the exploded rows.
+
+    ``stats`` is consumed by three subtrees (corpus agg, df/sims, hit
+    filter), so the caller persists it — one materialization of one row
+    per document, O(docs) not O(tokens)."""
+    from full_lattice_search_spark.operators.bm25 import B, K1
+
+    corpus = stats.filter(F.col("dl") > 0).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    ex = (
+        stats.filter(F.size("tf_tokens") > 0)
+        .select(
+            "doc_id",
+            "dl",
+            F.explode(F.arrays_zip("tf_tokens", "tf_counts")).alias("z"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            F.col("z.tf_tokens").alias("token"),
+            F.col("z.tf_counts").alias("tf"),
+        )
+    )
+    df_ = ex.groupBy("token").agg(F.count("*").alias("df"))
+    sims = (
+        ex.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "tf_norm",
+            (F.col("tf") * (K1 + 1))
+            / (
+                F.col("tf")
+                + K1
+                * (
+                    1.0
+                    - B
+                    + B * F.col("dl") / (F.col("total_len") / F.col("n_docs"))
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * F.col("tf_norm")).alias("similarity"))
+    )
+    return (
+        stats.filter("matched")
+        .select("doc_id", "payload_score", "n_spans")
+        .join(sims, "doc_id")
+        .withColumn(
+            "score",
+            F.col("payload_score") * F.col("similarity") * F.lit(boost),
+        )
+        .select("doc_id", "score", "n_spans", "payload_score", "similarity")
+    )
+
+
 def match_lattice(
     docs: DataFrame,
     query: str,
@@ -540,11 +614,22 @@ def match_lattice(
     TakeOrderedAndProject.  No shuffle except the final top-k merge.
 
     With the reference-default ``include_span_score=True`` the payload score
-    is multiplied by the engine-native BM25 similarity; corpus statistics
-    require a token pass over the corpus, so this path tokenizes twice —
-    deployments at scale should use the materialized token index
-    (``match_lattice_tokens``), where the statistics come from the same
-    table the matcher reads.
+    is multiplied by the engine-native BM25 similarity.  The corpus
+    statistics BM25 needs (document lengths, term frequencies, document
+    frequencies) come from the SAME fused kernel that matches: it emits one
+    row per document carrying both the hit fields and (dl, per-term tf),
+    and the similarity is composed from those columns — the corpus is
+    tokenized exactly once.  The per-doc stats frame feeds three subtrees
+    (corpus agg, df/sims, hit filter), so it is persisted
+    (MEMORY_AND_DISK) — one O(docs)-row materialization, never O(tokens).
+    The JVM substring prefilter is skipped on this path because corpus
+    statistics are defined over every document, matched or not; the
+    matcher's own term filter makes non-candidate docs nearly free.
+    ``explain=True`` composed scoring keeps the two-pass formulation (the
+    explain arrays don't flow through the stats schema).  Deployments at
+    scale can still prefer the materialized token index
+    (``match_lattice_tokens``), where statistics come from the same table
+    the matcher reads.
     """
     config = config or LatticeConfig()
     params = params or MatchLatticeParams()
@@ -570,6 +655,77 @@ def match_lattice(
         F.col(doc_id_col).cast("string").alias("doc_id"),
         text_values_col(spans_col).alias("values"),
     )
+
+    in_order, pf, ln = params.in_order, params.payload_function, (
+        params.payload_length_norm_factor
+    )
+
+    if params.include_span_score and not explain:
+        # SINGLE-PASS composed scoring: the same kernel that matches also
+        # emits each document's dl and per-query-term tf, and BM25 is
+        # composed from those columns (see docstring).  No prefilter —
+        # corpus statistics cover every document.
+        from pyspark import StorageLevel
+
+        from full_lattice_search_spark.schema import SPAN_STATS_SCHEMA
+
+        def run_stats(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                toks = tokenize_pandas(pdf["doc_id"], pdf["values"], config)
+                hits_pdf = match_tokens_pandas(
+                    toks, terms, slop, in_order, pf, ln, dtype,
+                    prefix_last=phrase_prefix,
+                )
+                out = pd.DataFrame({"doc_id": pdf["doc_id"].astype(str)})
+                dl = toks.groupby("doc_id").size()
+                out["dl"] = (
+                    out["doc_id"].map(dl).fillna(0).astype("int64")
+                )
+                cand_mask = toks["token"].isin(terms)
+                if phrase_prefix and terms:
+                    cand_mask |= (
+                        toks["token"].str.startswith(terms[-1]).fillna(False)
+                    )
+                tf = (
+                    toks[cand_mask]
+                    .groupby(["doc_id", "token"])
+                    .size()
+                    .reset_index(name="tf")
+                )
+                g = tf.groupby("doc_id")
+                # docs without any candidate term map to NaN — Arrow needs
+                # None for a null array cell, not a float
+                out["tf_tokens"] = [
+                    x if isinstance(x, list) else None
+                    for x in out["doc_id"].map(g["token"].agg(list))
+                ]
+                out["tf_counts"] = [
+                    x if isinstance(x, list) else None
+                    for x in out["doc_id"].map(g["tf"].agg(list))
+                ]
+                hm = hits_pdf.set_index("doc_id")
+                out["payload_score"] = out["doc_id"].map(hm["score"])
+                out["n_spans"] = (
+                    out["doc_id"].map(hm["n_spans"]).fillna(0).astype("int32")
+                )
+                out["matched"] = out["doc_id"].isin(hm.index)
+                yield out[
+                    [
+                        "doc_id", "payload_score", "n_spans", "matched",
+                        "dl", "tf_tokens", "tf_counts",
+                    ]
+                ]
+
+        stats = narrow.mapInPandas(
+            run_stats, schema=SPAN_STATS_SCHEMA
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        hits = _compose_from_stats(stats, float(params.boost))
+        if top_k is not None:
+            hits = hits.orderBy(F.desc("score"), "doc_id").limit(top_k)
+        return hits
+
     # JVM-side candidate prefilter: ONE substring probe on the longest query
     # term (a superset of token equality — the bare token prefixes each pipe
     # record; length is the cheap rarity proxy).  Probing every term here
@@ -584,10 +740,6 @@ def match_lattice(
         F.lower(F.concat_ws(" ", F.col("values"))).contains(probe)
     )
 
-    in_order, pf, ln = params.in_order, params.payload_function, (
-        params.payload_length_norm_factor
-    )
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             toks = tokenize_pandas(pdf["doc_id"], pdf["values"], config)
@@ -599,6 +751,9 @@ def match_lattice(
     schema = EXPLAIN_HITS_SCHEMA if explain else HITS_SCHEMA
     hits = narrow.mapInPandas(run, schema=schema)
     if params.include_span_score:
+        # only reachable with explain=True (the default composed path is
+        # the single-pass kernel above): two-pass so the explain arrays
+        # survive composition
         from full_lattice_search_spark.functions.tokenizer import (
             lattice_tokenize,
         )

@@ -49,6 +49,25 @@ HITS_SCHEMA = T.StructType(
     ]
 )
 
+# Single-pass doc-scan composed scoring (include_span_score=True): per-doc
+# row carrying BOTH the payload-score hit fields and the corpus-statistics
+# raw material (document length, per-query-term term frequencies) so BM25
+# composes from the same tokenize pass that matched — never a second
+# tokenize of the corpus.  tf_tokens/tf_counts are parallel arrays (bounded
+# by the query's term count + prefix expansions — a handful of entries, not
+# per-span structures).
+SPAN_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("payload_score", T.DoubleType(), True),
+        T.StructField("n_spans", T.IntegerType(), False),
+        T.StructField("matched", T.BooleanType(), False),
+        T.StructField("dl", T.LongType(), False),
+        T.StructField("tf_tokens", T.ArrayType(T.StringType()), True),
+        T.StructField("tf_counts", T.ArrayType(T.LongType()), True),
+    ]
+)
+
 # match_lattice(..., explain=True) output: per-doc hit row plus the per-span
 # score breakdown (the analog of the reference's Explanation tree,
 # LatticePayloadScoreQuery.java:316-326): doc-relative span boundaries and

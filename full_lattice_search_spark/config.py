@@ -31,6 +31,11 @@ NULL_PAYLOAD_SCORE = 1e-5
 # (reference mapper/LatticeFieldMapper.java:139-168, default gap 100).
 DEFAULT_POSITION_INCREMENT_GAP = 100
 
+# Follow-on token filters composable after the lattice filter (the analog
+# of chaining further ES analyzers — reference README.md:214-230, phonetic
+# follow-on discussion :487-493).
+VALID_FOLLOW_ON = frozenset({"lowercase", "asciifold", "soundex"})
+
 
 @dataclass(frozen=True)
 class LatticeConfig:
@@ -57,6 +62,12 @@ class LatticeConfig:
     score_buckets: tuple[float, ...] = field(default_factory=tuple)
     position_increment_gap: int = DEFAULT_POSITION_INCREMENT_GAP
     lowercase: bool = True
+    # Composable follow-on filter chain applied to the bare term text after
+    # truncation (the reference composes the lattice filter with arbitrary
+    # ES token filters — README.md:214-230; :487-493 discusses a phonetic
+    # follow-on).  None → legacy behavior: ('lowercase',) when `lowercase`
+    # else ().  Valid names: VALID_FOLLOW_ON.
+    follow_on: tuple[str, ...] | None = None
 
     def __post_init__(self) -> None:
         if self.lattice_format not in _VALID_FORMATS:
@@ -64,6 +75,13 @@ class LatticeConfig:
                 f"invalid lattice_format [{self.lattice_format}]; "
                 f"expected one of {_VALID_FORMATS}"
             )
+        if self.follow_on is not None:
+            for f_ in self.follow_on:
+                if f_ not in VALID_FOLLOW_ON:
+                    raise ValueError(
+                        f"unknown follow-on filter [{f_}]; expected one of "
+                        f"{sorted(VALID_FOLLOW_ON)}"
+                    )
         if len(self.field_delimiter) != 1:
             raise ValueError("field_delimiter must be a single character")
         if len(self.score_buckets) % 2 != 0:
@@ -77,6 +95,12 @@ class LatticeConfig:
         for r in self.repeats():
             if int(r) != r or r < 1:
                 raise ValueError(f"score bucket repeat {r} must be an int >= 1")
+
+    def effective_follow_on(self) -> tuple[str, ...]:
+        """The filter chain actually applied after the lattice filter."""
+        if self.follow_on is not None:
+            return self.follow_on
+        return ("lowercase",) if self.lowercase else ()
 
     @property
     def is_audio(self) -> bool:
@@ -103,12 +127,16 @@ class LatticeConfig:
     def to_json(self) -> str:
         d = asdict(self)
         d["score_buckets"] = list(d["score_buckets"])
+        if d.get("follow_on") is not None:
+            d["follow_on"] = list(d["follow_on"])
         return json.dumps(d, sort_keys=True)
 
     @classmethod
     def from_json(cls, s: str) -> "LatticeConfig":
         d = json.loads(s)
         d["score_buckets"] = tuple(d.get("score_buckets", ()))
+        if d.get("follow_on") is not None:
+            d["follow_on"] = tuple(d["follow_on"])
         return cls(**d)
 
 
@@ -126,6 +154,15 @@ class MatchLatticeParams:
     payload_length_norm_factor: float = 1.0
     zero_terms_query: str = "none"  # none | all
     boost: float = 1.0
+    # Similarity flavor multiplied in when include_span_score=True:
+    # - "engine": the engine-native relational BM25 (bm25_scores) —
+    #   tf = occurrence count, dl = total token count, float64 math.
+    # - "lucene": the reconstructed ES-7.x Lucene span similarity
+    #   (LegacyBM25 k1+1, sloppy freq = sum of 1/(1+span width),
+    #   norm-discounted + SmallFloat-quantized dl, float32 composition) —
+    #   reproduces the reference's published end-to-end scores
+    #   (FIXTURES.md §6).  Doc-scan path only.
+    similarity: str = "engine"  # engine | lucene
 
     def __post_init__(self) -> None:
         if self.payload_function not in ("sum", "max", "min"):
@@ -134,6 +171,8 @@ class MatchLatticeParams:
             )
         if self.zero_terms_query not in ("none", "all"):
             raise ValueError(f"invalid zero_terms_query [{self.zero_terms_query}]")
+        if self.similarity not in ("engine", "lucene"):
+            raise ValueError(f"unknown similarity [{self.similarity}]")
 
     def effective_slop(self, config: LatticeConfig, num_terms: int) -> int:
         """Audio format converts slop_seconds → position slop:

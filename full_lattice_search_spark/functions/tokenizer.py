@@ -233,11 +233,8 @@ def tokenize_pandas(
     else:
         parsed_out = parsed_mask
 
-    # --- T5/T6: bare term text, lowercase follow-on filter -----------------
-    if config.lowercase:
-        term = pc.utf8_lower(pa.array(term, pa.string())).to_numpy(
-            zero_copy_only=False
-        )
+    # --- T5/T6: bare term text, composable follow-on filter chain ----------
+    term = _apply_follow_on(term, config.effective_follow_on())
     out_tok = pd.Series(term, dtype=object)
 
     m = len(di)
@@ -266,6 +263,75 @@ def tokenize_pandas(
     out.loc[~parsed_out, ["pos", "rank"]] = pd.NA
     assert m == len(out)
     return out
+
+
+# American Soundex consonant codes (vowels/h/w/y carry no code; h/w are
+# transparent — they don't break a run of equal codes).
+_SOUNDEX_CODES = {
+    **{c: "1" for c in "bfpv"},
+    **{c: "2" for c in "cgjkqsxz"},
+    **{c: "3" for c in "dt"},
+    "l": "4",
+    **{c: "5" for c in "mn"},
+    "r": "6",
+}
+
+
+def _soundex_one(tok: str) -> str:
+    """American Soundex of one token; non-alphabetic tokens pass through
+    unchanged (a lattice stream can carry numbers/markup)."""
+    if not tok or not tok[0].isalpha():
+        return tok
+    t = tok.lower()
+    out = [t[0].upper()]
+    prev = _SOUNDEX_CODES.get(t[0], "")
+    for ch in t[1:]:
+        code = _SOUNDEX_CODES.get(ch)
+        if code is not None:
+            if code != prev:
+                out.append(code)
+            prev = code
+        elif ch not in "hw":
+            prev = ""  # vowels (and anything else) break the run
+    return (("".join(out)) + "000")[:4]
+
+
+def _apply_follow_on(term: np.ndarray, chain: tuple[str, ...]) -> np.ndarray:
+    """Apply the configured follow-on filter chain, vectorized:
+    `lowercase` runs on the Arrow kernel; `asciifold`/`soundex` map over
+    UNIQUE tokens only (the per-token python cost is amortized across all
+    duplicate occurrences — a bounded-vocabulary trick, not a per-row
+    loop over the corpus)."""
+    for name in chain:
+        if name == "lowercase":
+            term = pc.utf8_lower(pa.array(term, pa.string())).to_numpy(
+                zero_copy_only=False
+            )
+        elif name == "asciifold":
+            import unicodedata
+
+            s = pd.Series(term, dtype=object)
+            mapping = {
+                u: (
+                    unicodedata.normalize("NFKD", u)
+                    .encode("ascii", "ignore")
+                    .decode("ascii")
+                    if isinstance(u, str)
+                    else u
+                )
+                for u in pd.unique(s)
+            }
+            term = s.map(mapping).to_numpy()
+        elif name == "soundex":
+            s = pd.Series(term, dtype=object)
+            mapping = {
+                u: _soundex_one(u) if isinstance(u, str) else u
+                for u in pd.unique(s)
+            }
+            term = s.map(mapping).to_numpy()
+        else:  # pragma: no cover — VALID_FOLLOW_ON gate in LatticeConfig
+            raise ValueError(f"unknown follow-on filter [{name}]")
+    return term
 
 
 def _cumsum_by_group(vals: np.ndarray, group: np.ndarray) -> np.ndarray:

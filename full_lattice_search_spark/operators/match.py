@@ -298,8 +298,10 @@ _EMPTY_HITS = pd.DataFrame(
 )
 
 
-def _empty_hits(explain: bool) -> pd.DataFrame:
+def _empty_hits(explain: bool, with_freq: bool = False) -> pd.DataFrame:
     out = _EMPTY_HITS.copy()
+    if with_freq:
+        out["sloppy_freq"] = pd.Series([], dtype=np.float64)
     if explain:
         for c in ("span_start", "span_end", "span_score"):
             out[c] = pd.Series([], dtype=object)
@@ -320,6 +322,7 @@ def match_tokens_pandas(
     dtype: type = np.float32,
     prefix_last: bool = False,
     explain: bool = False,
+    with_freq: bool = False,
 ) -> pd.DataFrame:
     """Match + score one batch of token rows (any number of docs).
 
@@ -328,7 +331,10 @@ def match_tokens_pandas(
     with ``explain=True`` adds per-doc ``span_start``/``span_end``/
     ``span_score`` arrays (doc-relative, enumeration order) — the analog of
     the reference's per-hit Explanation tree
-    (LatticePayloadScoreQuery.java:316-326).
+    (LatticePayloadScoreQuery.java:316-326).  With ``with_freq=True`` adds
+    ``sloppy_freq``: Lucene's span frequency Σ 1/(1 + span gap count),
+    float32-accumulated in enumeration order (SpanScorer.setFreqCurrentDoc
+    analog) — the raw material of the "lucene" similarity flavor.
 
     Vectorized across documents: positions are encoded as
     ``doc_index * 2^40 + abs_pos`` so the greedy in-order chain (one
@@ -337,14 +343,14 @@ def match_tokens_pandas(
     and is masked out.  No per-document Python loop on either path.
     """
     if slop < 0:  # audio seconds→slop conversion can go negative: no match
-        return _empty_hits(explain)
+        return _empty_hits(explain, with_freq)
     assert slop < (1 << 39), "slop out of range for position encoding"
     keep = tokens["token"].isin(terms)
     if prefix_last and terms:
         keep = keep | tokens["token"].str.startswith(terms[-1])
     cand = tokens[keep]
     if len(cand) == 0:
-        return _empty_hits(explain)
+        return _empty_hits(explain, with_freq)
     # postings order: by (abs_pos, seq) per term — stable, deterministic
     cand = cand.sort_values(["doc_id", "abs_pos", "seq"], kind="stable")
     doc_codes, doc_uniques = pd.factorize(cand["doc_id"], sort=False)
@@ -364,7 +370,7 @@ def match_tokens_pandas(
         else:
             m = tok_arr == t
         if not m.any():
-            return _empty_hits(explain)
+            return _empty_hits(explain, with_freq)
         plists.append((gpos[m], score_arr[m]))
 
     if in_order:
@@ -375,7 +381,7 @@ def match_tokens_pandas(
     # were already masked; starts/ends share one doc by construction
     match_docs = (starts // _DOC_STRIDE).astype(np.int64)
     if len(starts) == 0:
-        return _empty_hits(explain)
+        return _empty_hits(explain, with_freq)
 
     leaf = _fold_leaf_scores(term_scores, dtype)
     spans = _span_scores(starts, ends, leaf, len_norm, dtype)
@@ -405,6 +411,17 @@ def match_tokens_pandas(
             "n_spans": n_spans[hit_mask].astype(np.int32),
         }
     )
+    if with_freq:
+        # Lucene sloppy freq: per span 1/(1 + gaps), gaps = width minus the
+        # matched terms; accumulated in `dtype` — float32 (the default)
+        # mirrors SpanScorer's float freq field; the float64 variant is
+        # for order-insensitive oracle comparison
+        gaps = (ends - starts - len(terms)).astype(np.int64)
+        np.maximum(gaps, 0, out=gaps)
+        slop_factor = (1.0 / (1.0 + gaps)).astype(dtype)
+        freq = np.zeros(n_docs, dtype=dtype)
+        np.add.at(freq, match_docs, slop_factor)
+        out["sloppy_freq"] = freq[hit_mask].astype(np.float64)
     if explain:
         # match rows are sorted by doc (gpos-ascending on both paths), so the
         # per-doc breakdown is an offset split — no per-row Python objects
@@ -593,6 +610,76 @@ def _compose_from_stats(stats: DataFrame, boost: float) -> DataFrame:
     )
 
 
+def _compose_from_stats_lucene(
+    stats: DataFrame, terms: list[str], boost: float
+) -> DataFrame:
+    """``similarity='lucene'``: compose the RECONSTRUCTED ES-7.x Lucene
+    span similarity (see ``bm25.lucene_legacy_span_similarity`` and
+    FIXTURES.md §6) from the single-pass stats frame — the engine then
+    reproduces the reference's published end-to-end scores:
+
+    - freq: the kernel's float32 sloppy span frequency (Σ 1/(1+gaps));
+    - dl: overlap-discounted token count, quantized to Lucene's 4-bit
+      SmallFloat norm (top-4-bits truncation — exact below 16);
+    - avgdl: sumTotalTermFreq/docCount (FULL token count — Lucene's dl
+      and avgdl are structurally inconsistent on lattice fields);
+    - idf/weight: corpus constants — ONE eager tiny statistics job over
+      the persisted stats frame collects k df values + 2 scalars (like
+      the IVF literal centroids), then they become plan-time literals;
+    - every composition step cast through float32, matching Lucene's
+      association order.
+    """
+    import math
+
+    from full_lattice_search_spark.operators.bm25 import B, K1
+
+    crow = stats.filter(F.col("dl") > 0).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    n_docs = int(crow["n"] or 0)
+    total_len = int(crow["t"] or 0)
+    if n_docs > 0:
+        df_rows = (
+            stats.filter(F.size("tf_tokens") > 0)
+            .select(F.explode("tf_tokens").alias("token"))
+            .groupBy("token")
+            .count()
+            .collect()
+        )
+        dfs = {r["token"]: int(r["count"]) for r in df_rows}
+        idf = np.float32(
+            sum(
+                math.log(
+                    1.0
+                    + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
+                )
+                for t in terms
+            )
+        )
+        weight = float(np.float32(np.float32(boost * (K1 + 1.0)) * idf))
+        avgdl = float(np.float32(total_len / n_docs))
+    else:  # nothing matched — projection below runs on zero rows
+        weight, avgdl = 0.0, 1.0
+
+    s_expr = "greatest(cast(floor(log2(greatest(dl_norm, 1))) as int) - 3, 0)"
+    dlq = f"shiftleft(shiftright(dl_norm, {s_expr}), {s_expr})"
+    # the `d` suffixes matter: bare fractional literals parse as DECIMAL in
+    # Spark SQL and would silently turn the norm into 6-digit decimal math
+    norm = f"({K1!r}d * (1.0d - {B!r}d + {B!r}d * {dlq} / {avgdl!r}d))"
+    tfn = f"cast(sloppy_freq / (sloppy_freq + {norm}) as float)"
+    sim = f"cast(cast({weight!r}d as float) * {tfn} as float)"
+    return (
+        stats.filter("matched")
+        .withColumn("similarity", F.expr(sim).cast("double"))
+        .withColumn(
+            "score",
+            F.expr(f"cast(cast(payload_score as float) * {sim} as float)")
+            .cast("double"),
+        )
+        .select("doc_id", "score", "n_spans", "payload_score", "similarity")
+    )
+
+
 def match_lattice(
     docs: DataFrame,
     query: str,
@@ -669,6 +756,8 @@ def match_lattice(
 
         from full_lattice_search_spark.schema import SPAN_STATS_SCHEMA
 
+        want_lucene = params.similarity == "lucene"
+
         def run_stats(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
@@ -676,12 +765,22 @@ def match_lattice(
                 toks = tokenize_pandas(pdf["doc_id"], pdf["values"], config)
                 hits_pdf = match_tokens_pandas(
                     toks, terms, slop, in_order, pf, ln, dtype,
-                    prefix_last=phrase_prefix,
+                    prefix_last=phrase_prefix, with_freq=want_lucene,
                 )
                 out = pd.DataFrame({"doc_id": pdf["doc_id"].astype(str)})
                 dl = toks.groupby("doc_id").size()
                 out["dl"] = (
                     out["doc_id"].map(dl).fillna(0).astype("int64")
+                )
+                # overlap-discounted length (Lucene norms don't count
+                # posinc=0 lattice alternatives)
+                dln = (
+                    toks[toks["pos_inc"].to_numpy() > 0]
+                    .groupby("doc_id")
+                    .size()
+                )
+                out["dl_norm"] = (
+                    out["doc_id"].map(dln).fillna(0).astype("int64")
                 )
                 cand_mask = toks["token"].isin(terms)
                 if phrase_prefix and terms:
@@ -711,17 +810,33 @@ def match_lattice(
                     out["doc_id"].map(hm["n_spans"]).fillna(0).astype("int32")
                 )
                 out["matched"] = out["doc_id"].isin(hm.index)
+                if want_lucene:
+                    out["sloppy_freq"] = out["doc_id"].map(hm["sloppy_freq"])
+                else:
+                    out["sloppy_freq"] = np.nan
                 yield out[
                     [
                         "doc_id", "payload_score", "n_spans", "matched",
-                        "dl", "tf_tokens", "tf_counts",
+                        "dl", "tf_tokens", "tf_counts", "sloppy_freq",
+                        "dl_norm",
                     ]
                 ]
 
         stats = narrow.mapInPandas(
             run_stats, schema=SPAN_STATS_SCHEMA
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        hits = _compose_from_stats(stats, float(params.boost))
+        if want_lucene:
+            if phrase_prefix:
+                raise ValueError(
+                    "similarity='lucene' does not support phrase_prefix "
+                    "yet (idf over the prefix expansion set); use the "
+                    "default engine similarity"
+                )
+            hits = _compose_from_stats_lucene(
+                stats, terms, float(params.boost)
+            )
+        else:
+            hits = _compose_from_stats(stats, float(params.boost))
         if top_k is not None:
             hits = hits.orderBy(F.desc("score"), "doc_id").limit(top_k)
         return hits
@@ -735,10 +850,18 @@ def match_lattice(
     # stage (r01 PLANS.md).  The Python matcher verifies ALL terms anyway —
     # a doc missing any term yields no postings — so the single-probe filter
     # is correctness-neutral and evaluates the concat chain exactly once.
-    probe = max(terms, key=len).lower()
-    narrow = narrow.filter(
-        F.lower(F.concat_ws(" ", F.col("values"))).contains(probe)
-    )
+    #
+    # VALIDITY: the probe compares an ANALYZED term against the RAW text,
+    # which is a superset only while the follow-on chain maps each token to
+    # a lowercase-substring of itself — true for 'lowercase', FALSE for
+    # transforming filters (soundex turns 'Robert' into 'R163', which never
+    # appears in the raw text; asciifold folds accents the raw text still
+    # carries).  With a transforming chain the prefilter must be skipped.
+    if not set(config.effective_follow_on()) - {"lowercase"}:
+        probe = max(terms, key=len).lower()
+        narrow = narrow.filter(
+            F.lower(F.concat_ws(" ", F.col("values"))).contains(probe)
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

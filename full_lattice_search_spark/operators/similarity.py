@@ -35,10 +35,51 @@ def cosine_col(a: str, b: str) -> Column:
 
 
 def sign_bucket_col(vec: str, n_dims: int = 8) -> Column:
-    """Deterministic sign-LSH bucket: '1'/'0' per leading dimension."""
+    """Deterministic sign-LSH bucket: '1'/'0' per leading dimension.
+
+    Degenerate on non-centered embeddings (a dimension whose values are
+    mostly one sign contributes no discrimination) — prefer
+    ``hyperplane_bucket_col`` unless axis determinism across engines is
+    the point (it is, for the DuckDB oracle entries)."""
     parts = [
         f"CASE WHEN {vec}[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(n_dims)
     ]
+    return F.expr("concat(" + ", ".join(parts) + ")")
+
+
+def hyperplane_coeffs(
+    n_planes: int, dim: int, seed: int
+) -> list[list[float]]:
+    """Seed-derived random hyperplane normals (float32 → exact doubles).
+    Deterministic: the same (n_planes, dim, seed) triple yields the same
+    literal coefficients on every engine, so the bucket function can be
+    reproduced verbatim in an oracle SQL string."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
+    return [[float(c) for c in p] for p in planes]
+
+
+def hyperplane_bucket_col(
+    vec: str, n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> Column:
+    """True random-hyperplane sign-LSH bucket (Charikar SimHash for
+    cosine): bit i = sign(h_i · vec) for seed-derived normals h_i.
+
+    Unlike ``sign_bucket_col`` this is distribution-free — buckets stay
+    balanced on non-centered or correlated embeddings.  The coefficients
+    are PLAN-TIME LITERALS (one flat multiply-add chain per bit, pure
+    codegen — no HOF interpreter, no runtime randomness), so with the
+    corpus written partitioned by bucket this is still the
+    partition-pruning path at 100 TB."""
+    parts = []
+    for plane in hyperplane_coeffs(n_planes, dim, seed):
+        terms = " + ".join(
+            f"cast({vec}[{j}] as double) * ({c!r})"
+            for j, c in enumerate(plane)
+        )
+        parts.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
     return F.expr("concat(" + ", ".join(parts) + ")")
 
 
@@ -102,6 +143,8 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = False,
+    plane_seed: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's sign bucket are
     scored.  With the corpus written partitioned by ``bucket``, the scan
@@ -113,16 +156,24 @@ def lsh_bucket_topk(
     side, so the single-flip neighbours hold most of the missed
     candidates.  The probe set stays on the tiny broadcast query side
     (exploded), so the corpus still prunes to n_dims+1 of 2^n_dims
-    buckets."""
+    buckets.
+
+    ``plane_seed``: use seed-derived random hyperplanes
+    (``hyperplane_bucket_col``, needs ``dim``) instead of axis signs —
+    recall measured at sf0.1 in BENCH/BASELINE.md §ANN recall."""
+    if plane_seed is not None:
+        bucket = hyperplane_bucket_col(vec_col, n_dims, dim, plane_seed)
+    else:
+        bucket = sign_bucket_col(vec_col, n_dims)
     corpus = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        sign_bucket_col(vec_col, n_dims).alias("bucket"),
+        bucket.alias("bucket"),
     )
     q = query.select(
         F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        sign_bucket_col(vec_col, n_dims).alias("bucket"),
+        bucket.alias("bucket"),
     )
     if multi_probe:
         variants = ["bucket"] + [

@@ -189,6 +189,136 @@ FROM abs_tokens
 """
 
 
+def q_tokenize_follow_on(spark, sf_dir):
+    """Configurable follow-on analyzer chain (reference composes the
+    lattice filter with arbitrary ES token filters, README.md:214-230;
+    phonetic follow-on :487-493): accents are planted into every lattice
+    token (a→á, e→é, o→ó), then the NON-DEFAULT chain ('lowercase',
+    'asciifold') folds them back — the output must equal the default
+    chain over clean text, which is exactly what the oracle computes.
+    Any chain-order or folding bug breaks the hash."""
+    docs = lattice_docs(spark, sf_dir)
+    accented = docs.withColumn(
+        "spans",
+        F.expr(
+            "transform(spans, s -> named_struct("
+            "'kind', s.kind, 'text', translate(s.text, 'aeo', 'áéó'), "
+            "'media_ref', s.media_ref, 'offset', s.offset))"
+        ),
+    )
+    toks = lattice_tokenize(
+        accented, LatticeConfig(follow_on=("lowercase", "asciifold"))
+    )
+    return toks.select(
+        "doc_id",
+        F.col("seq").cast("long").alias("seq"),
+        "token",
+        F.col("abs_pos").cast("long").alias("abs_pos"),
+    )
+
+
+SQL_TOKENIZE_FOLLOW_ON = f"""
+WITH {_ABS_CTE}
+SELECT doc_id, CAST(i AS BIGINT) AS seq, token,
+       CAST(abs_pos AS BIGINT) AS abs_pos
+FROM abs_tokens
+"""
+
+
+def q_match_lucene_sim(spark, sf_dir):
+    """similarity='lucene' (the reconstructed ES-7.x span similarity that
+    reproduces the reference's published scores, FIXTURES.md §6) over the
+    doc-scan path.  The oracle mirrors every float32 cast with DuckDB
+    REAL casts — bit-identical composition; the only double-summed parts
+    (sloppy freq with dtype=float64, idf) are order-insensitive to 1e-16.
+    Gated on the similarity column so the new machinery (span-width freq,
+    overlap-discounted + SmallFloat-quantized dl, corpus stats, float32
+    chain) is what the hash covers."""
+    from full_lattice_search_spark.operators.match import match_lattice
+
+    hits = match_lattice(
+        lattice_docs(spark, sf_dir),
+        "hash merge",
+        LatticeConfig(),
+        MatchLatticeParams(
+            slop=5, include_span_score=True, similarity="lucene"
+        ),
+        dtype=np.float64,
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.round("similarity", 6).alias("similarity"),
+    )
+
+
+def _sql_match_lucene_sim(terms: list[str], slop: int) -> str:
+    k = len(terms)
+    ctes = [
+        f"t{j} AS (SELECT doc_id, abs_pos FROM abs_tokens WHERE token = '{t}')"
+        for j, t in enumerate(terms, start=1)
+    ]
+    chain = (
+        "c1 AS (SELECT doc_id, abs_pos AS p1, abs_pos AS m, "
+        "count(*) AS cnt FROM t1 GROUP BY doc_id, abs_pos)"
+    )
+    prev = "c1"
+    for j in range(2, k + 1):
+        chain += f""",
+c{j} AS (
+  SELECT {prev}.doc_id, {prev}.p1, min(t{j}.abs_pos) AS m,
+         min({prev}.cnt) AS cnt
+  FROM {prev} JOIN t{j}
+    ON t{j}.doc_id = {prev}.doc_id AND t{j}.abs_pos >= {prev}.m + 1
+  GROUP BY {prev}.doc_id, {prev}.p1
+)"""
+        prev = f"c{j}"
+    idf_sum = " + ".join(
+        f"ln(1.0 + ((SELECT n_docs FROM corpus) - "
+        f"(SELECT count(DISTINCT doc_id) FROM abs_tokens WHERE token = '{t}')"
+        f" + 0.5) / ((SELECT count(DISTINCT doc_id) FROM abs_tokens "
+        f"WHERE token = '{t}') + 0.5))"
+        for t in terms
+    )
+    dlq = (
+        "(dl_norm >> greatest(CAST(floor(log2(greatest(dl_norm, 1))) AS INT)"
+        " - 3, 0)) << greatest(CAST(floor(log2(greatest(dl_norm, 1))) AS INT)"
+        " - 3, 0)"
+    )
+    return f"""
+WITH {_ABS_CTE},
+{", ".join(ctes)},
+{chain},
+doclen AS (
+  SELECT doc_id, count(*) AS dl,
+         count(*) FILTER (WHERE pos_inc = 1) AS dl_norm
+  FROM abs_tokens GROUP BY doc_id
+),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen),
+consts AS (
+  SELECT CAST(CAST(2.2 AS REAL) * CAST({idf_sum} AS REAL) AS REAL) AS w,
+         CAST(CAST(total_len AS DOUBLE) / n_docs AS REAL) AS avgdl
+  FROM corpus
+),
+freq AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_spans,
+         sum(cnt / (1.0 + (m - p1 - {k - 1}))) AS f
+  FROM {prev} WHERE m - p1 - {k - 1} <= {slop}
+  GROUP BY doc_id
+)
+SELECT freq.doc_id, freq.n_spans,
+       round(CAST(CAST(consts.w *
+         CAST(freq.f / (freq.f + 1.2 * (1.0 - 0.75 +
+           0.75 * ({dlq}) / CAST(consts.avgdl AS DOUBLE))) AS REAL)
+         AS REAL) AS DOUBLE), 6) AS similarity
+FROM freq JOIN doclen ON doclen.doc_id = freq.doc_id
+CROSS JOIN consts
+"""
+
+
+SQL_MATCH_LUCENE_SIM = _sql_match_lucene_sim(["hash", "merge"], 5)
+
+
 def q_tokenize_buckets(spark, sf_dir):
     toks = _tokens(spark, sf_dir, score_buckets=(0.7, 3, 0.4, 2))
     return toks.select(
@@ -1391,6 +1521,61 @@ FROM (
 """
 
 
+def _sql_hyperplane_bucket(
+    v: str, n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB twin of similarity.hyperplane_bucket_col: identical literal
+    coefficients (seed-derived float32 → exact double repr), identical
+    left-to-right double multiply-add chain — bit-equal bucket strings."""
+    from full_lattice_search_spark.operators.similarity import (
+        hyperplane_coeffs,
+    )
+
+    parts = []
+    for plane in hyperplane_coeffs(n_planes, dim, seed):
+        terms = " + ".join(
+            f"CAST({v}[{j + 1}] AS DOUBLE) * ({c!r})"
+            for j, c in enumerate(plane)
+        )
+        parts.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def q_ann_lsh_hyperplane(spark, sf_dir):
+    """Seeded random-hyperplane sign-LSH (Charikar) — the
+    distribution-free bucket variant next to the axis-sign one; plan-time
+    literal plane coefficients keep it a codegen/partition-pruning path."""
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return lsh_bucket_topk(emb, query, k=5, plane_seed=42, dim=64)
+
+
+SQL_ANN_LSH_HYPERPLANE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                  {{hp_q}} AS bucket
+           FROM embeddings ORDER BY vec_id LIMIT 1),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_SQL_COS.format(a="e.embedding", b="q.qvec")}, 4) AS cosine
+  FROM embeddings e JOIN q
+    ON {{hp_e}} = q.bucket
+  WHERE e.vec_id <> q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       cosine, CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+SQL_ANN_LSH_HYPERPLANE = SQL_ANN_LSH_HYPERPLANE.format(
+    hp_q=_sql_hyperplane_bucket("embedding"),
+    hp_e=_sql_hyperplane_bucket("e.embedding"),
+)
+
+
 _SQL_HAMMING = "(" + " + ".join(
     f"CASE WHEN substr({{a}}, {i + 1}, 1) <> substr({{b}}, {i + 1}, 1) "
     f"THEN 1 ELSE 0 END"
@@ -2286,6 +2471,9 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_suppliers": q_top_suppliers,
     "events_running": q_events_running,
+    "ann_lsh_hyperplane": q_ann_lsh_hyperplane,
+    "tokenize_follow_on": q_tokenize_follow_on,
+    "match_lucene_sim": q_match_lucene_sim,
 }
 
 ORACLES = {
@@ -2345,4 +2533,7 @@ ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_suppliers": SQL_TOP_SUPPLIERS,
     "events_running": SQL_EVENTS_RUNNING,
+    "ann_lsh_hyperplane": SQL_ANN_LSH_HYPERPLANE,
+    "tokenize_follow_on": SQL_TOKENIZE_FOLLOW_ON,
+    "match_lucene_sim": SQL_MATCH_LUCENE_SIM,
 }

@@ -65,6 +65,11 @@ SPAN_STATS_SCHEMA = T.StructType(
         T.StructField("dl", T.LongType(), False),
         T.StructField("tf_tokens", T.ArrayType(T.StringType()), True),
         T.StructField("tf_counts", T.ArrayType(T.LongType()), True),
+        # Lucene-flavor raw material (similarity="lucene"): float32 sloppy
+        # span frequency; overlap-discounted document length (posinc>0
+        # tokens only — what a Lucene norm stores before quantization)
+        T.StructField("sloppy_freq", T.DoubleType(), True),
+        T.StructField("dl_norm", T.LongType(), False),
     ]
 )
 

@@ -67,9 +67,13 @@ def main() -> None:
             ),
         ),
         (
-            "match_lattice (reference-default composed scoring)",
-            "include_span_score=True: payload hits join the BM25 "
-            "similarity (doclen/df aggregates over the token stream); "
+            "match_lattice (reference-default composed scoring, single-pass)",
+            "include_span_score=True: ONE MapInPandas kernel (over ONE "
+            "parquet scan) emits hit fields + per-doc (dl, per-term tf); "
+            "every stats consumer reads the same persisted "
+            "InMemoryRelation — the corpus is tokenized exactly once. "
+            "BM25 composes from the stats columns: tiny corpus agg + "
+            "vocabulary-sized df agg, both broadcast back; "
             "score = payload_score * similarity * boost",
             formatted(
                 match_lattice(
@@ -77,6 +81,14 @@ def main() -> None:
                     MatchLatticeParams(slop=5), top_k=10,
                 )
             ),
+        ),
+        (
+            "ann_lsh_hyperplane (seeded random-hyperplane LSH)",
+            "bucket bits are flat literal multiply-add chains (codegen, "
+            "no HOF interpreter, no runtime randomness) — with the corpus "
+            "partitioned by bucket this is partition pruning; query side "
+            "broadcasts",
+            formatted(QUERIES["ann_lsh_hyperplane"](spark, SF)),
         ),
         (
             "match_lattice_indexed (materialized token index)",

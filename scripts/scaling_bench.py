@@ -88,13 +88,24 @@ warm = synth_documents(spark, cpus * 60, seed=7, mega_every=0,
                        partitions=cpus * 2)
 extract_spans(warm, LatticeConfig()).count()
 extract_spans(docs.limit(500), LatticeConfig()).count()
+# warm the WRITE path too (parquet committer + writer JIT is ~10s of
+# one-time cost at high slot counts; round-2 timings unknowingly paid it
+# inside the first measured write)
+n_writers = max(2, cpus // 2)
+(extract_spans(warm, LatticeConfig()).repartition(2)
+    .write.mode("overwrite").parquet(out))
 best = float("inf")
 best_compute = float("inf")
 for _ in range(repeats):
     t0 = time.time()
-    # one output file per task slot: file count scales with the level, file
-    # size stays >> commit overhead (mirrors 128MB-file sizing at 100 TB)
-    (extract_spans(docs, LatticeConfig()).coalesce(cpus)
+    # Stage-separated write: extract at full scan parallelism, then one
+    # round-robin exchange down to cpus/2 writer tasks.  A slots-wide
+    # fused extract+write runs 2 busy threads per slot (python worker +
+    # JVM parquet encoder) — at slots == vCPUs that is 2x oversubscribed
+    # and measured SLOWER than 8 slots.  Rebalance-before-write is the
+    # standard production pattern for exactly this (and bounds file
+    # count: one file per writer task).
+    (extract_spans(docs, LatticeConfig()).repartition(n_writers)
         .write.mode("overwrite").parquet(out))
     best = min(best, time.time() - t0)
     t0 = time.time()
@@ -355,10 +366,15 @@ the sandbox stand-in for that denominator.  Target ≥ 0.8.
 
 - input: {n_docs} deterministic synthetic interleaved documents
   (`datagen.synth_documents`, seed 42, mega-doc every 2000)
-- write path emits exactly one parquet file per task slot
-  (`coalesce(cpus)`), so per-file commit overhead no longer dominates the
-  tiny-corpus write timing; at the 100 TB design point the same sizing
-  rule (file count = O(task slots), files ≥ 128 MB) applies.
+- write path is stage-separated (`repartition(slots/2)` before the
+  parquet write): a slots-wide fused extract+write runs two busy threads
+  per slot (python worker + JVM parquet encoder) — at slots == vCPUs
+  that is 2× oversubscribed and measured SLOWER than 8 slots.  The
+  rebalance decouples writer concurrency from scan parallelism and
+  bounds file count to one per writer task (the production
+  rebalance-before-write pattern).  The write warmup also pre-pays the
+  one-time parquet committer/writer JIT (~10 s at 32 slots) that earlier
+  rounds unknowingly folded into the first measured write.
 - input splits: `spark.sql.files.maxPartitionBytes` lowered to 512 KB so the
   tens-of-MB bench corpus fans out past the core count (at the 100 TB design
   point the 128 MB default is correct — data >> cores × split size).

@@ -116,6 +116,86 @@ def test_lucene_model_reproduces_published_scores(
     assert composed == pytest.approx(ref, rel=1e-6)
 
 
+@pytest.mark.parametrize(
+    "lattice,query,cfg_kw,params_kw,ref",
+    [
+        (
+            AUDIO_LATTICE,
+            "quick box jumped",
+            dict(
+                lattice_format="audio",
+                audio_position_increment_seconds=0.1,
+            ),
+            dict(slop_seconds=2.0),
+            REF_AUDIO_SCORE,
+        ),
+        (TEXT_LATTICE, "quick jumped", dict(), dict(slop=1), REF_TEXT_SCORE),
+    ],
+)
+def test_lucene_similarity_mode_reproduces_reference_end_to_end(
+    spark, lattice, query, cfg_kw, params_kw, ref
+):
+    """similarity='lucene' end-to-end: the ENGINE ITSELF (not just the
+    offline model) returns the reference's published max_score on the
+    README fixtures — the A7 parity gap closed as an opt-in flavor.
+    Tolerance 1e-6 relative: the residual is float32 association order
+    inside Lucene internals the two published data points can't pin."""
+    docs = spark.createDataFrame(
+        [("1", [("text", lattice, None, 0)])], DOCUMENTS_SCHEMA
+    )
+    rows = match_lattice(
+        docs,
+        query,
+        LatticeConfig(**cfg_kw),
+        MatchLatticeParams(
+            in_order=True,
+            payload_function="sum",
+            similarity="lucene",
+            **params_kw,
+        ),
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["score"] == pytest.approx(ref, rel=1e-6)
+
+
+def test_lucene_mode_guards(spark):
+    with pytest.raises(ValueError, match=r"unknown similarity"):
+        MatchLatticeParams(similarity="tfidf")
+    docs = spark.createDataFrame(
+        [("1", [("text", TEXT_LATTICE, None, 0)])], DOCUMENTS_SCHEMA
+    )
+    with pytest.raises(ValueError, match="phrase_prefix"):
+        match_lattice(
+            docs,
+            "quick jum",
+            LatticeConfig(),
+            MatchLatticeParams(similarity="lucene"),
+            phrase_prefix=True,
+        )
+
+
+def test_smallfloat_norm_quantization_matches_lucene():
+    """The SQL top-4-bits truncation equals Lucene's
+    SmallFloat.byte4ToInt(intToByte4(dl)) roundtrip for every dl that
+    matters (exact below 16, truncating above)."""
+
+    def lucene_int4_roundtrip(i: int) -> int:
+        num_bits = i.bit_length()
+        if num_bits < 4:
+            return i
+        shift = num_bits - 4
+        return ((i >> shift) << shift)
+
+    def sql_quantize(i: int) -> int:
+        import math
+
+        s = max(int(math.floor(math.log2(max(i, 1)))) - 3, 0)
+        return (i >> s) << s
+
+    for dl in list(range(0, 200)) + [255, 256, 1000, 12345, 1 << 20]:
+        assert sql_quantize(dl) == lucene_int4_roundtrip(dl), dl
+
+
 def test_engine_vs_lucene_similarity_delta_documented(audio_hit, text_hit):
     """The engine's native similarity differs from Lucene's by the flavor
     delta documented in FIXTURES.md §6.  For the text fixture the entire

@@ -629,47 +629,97 @@ def _compose_from_stats_lucene(
     - every composition step cast through float32, matching Lucene's
       association order.
     """
-    import math
+    df_rows = (
+        stats.filter(F.size("tf_tokens") > 0)
+        .select(F.explode("tf_tokens").alias("token"))
+        .groupBy("token")
+        .count()
+        .collect()
+    )
+    dfs = {r["token"]: int(r["count"]) for r in df_rows}
+    weight, avgdl = _lucene_corpus_consts(
+        stats.select("doc_id", "dl"), dfs, terms, boost
+    )
+    sim = _lucene_sim_sql(weight, avgdl)
+    return (
+        stats.filter("matched")
+        .withColumn("similarity", F.expr(sim).cast("double"))
+        .withColumn(
+            "score",
+            F.expr(f"cast(cast(payload_score as float) * {sim} as float)")
+            .cast("double"),
+        )
+        .select("doc_id", "score", "n_spans", "payload_score", "similarity")
+    )
 
+
+def _lucene_sim_sql(weight: float, avgdl: float) -> str:
+    """Float32 Lucene-similarity SQL over per-row ``sloppy_freq`` /
+    ``dl_norm`` columns with plan-time ``weight``/``avgdl`` literals.  The
+    `d` suffixes matter: bare fractional literals parse as DECIMAL in
+    Spark SQL and would silently turn the norm into 6-digit decimal math."""
     from full_lattice_search_spark.operators.bm25 import B, K1
 
-    crow = stats.filter(F.col("dl") > 0).agg(
+    s_expr = "greatest(cast(floor(log2(greatest(dl_norm, 1))) as int) - 3, 0)"
+    dlq = f"shiftleft(shiftright(dl_norm, {s_expr}), {s_expr})"
+    norm = f"({K1!r}d * (1.0d - {B!r}d + {B!r}d * {dlq} / {avgdl!r}d))"
+    tfn = f"cast(sloppy_freq / (sloppy_freq + {norm}) as float)"
+    return f"cast(cast({weight!r}d as float) * {tfn} as float)"
+
+
+def _lucene_corpus_consts(
+    doclen: DataFrame, dfs: dict[str, int], terms: list[str], boost: float
+) -> tuple[float, float]:
+    """(weight, avgdl) literals from corpus statistics, float32-composed
+    exactly like ``lucene_legacy_span_similarity``."""
+    import math
+
+    from full_lattice_search_spark.operators.bm25 import K1
+
+    crow = doclen.filter(F.col("dl") > 0).agg(
         F.count("*").alias("n"), F.sum("dl").alias("t")
     ).collect()[0]
     n_docs = int(crow["n"] or 0)
     total_len = int(crow["t"] or 0)
-    if n_docs > 0:
-        df_rows = (
-            stats.filter(F.size("tf_tokens") > 0)
-            .select(F.explode("tf_tokens").alias("token"))
-            .groupBy("token")
-            .count()
-            .collect()
-        )
-        dfs = {r["token"]: int(r["count"]) for r in df_rows}
-        idf = np.float32(
-            sum(
-                math.log(
-                    1.0
-                    + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
-                )
-                for t in terms
+    if n_docs == 0:
+        return 0.0, 1.0
+    idf = np.float32(
+        sum(
+            math.log(
+                1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
             )
+            for t in terms
         )
-        weight = float(np.float32(np.float32(boost * (K1 + 1.0)) * idf))
-        avgdl = float(np.float32(total_len / n_docs))
-    else:  # nothing matched — projection below runs on zero rows
-        weight, avgdl = 0.0, 1.0
+    )
+    weight = float(np.float32(np.float32(boost * (K1 + 1.0)) * idf))
+    avgdl = float(np.float32(total_len / n_docs))
+    return weight, avgdl
 
-    s_expr = "greatest(cast(floor(log2(greatest(dl_norm, 1))) as int) - 3, 0)"
-    dlq = f"shiftleft(shiftright(dl_norm, {s_expr}), {s_expr})"
-    # the `d` suffixes matter: bare fractional literals parse as DECIMAL in
-    # Spark SQL and would silently turn the norm into 6-digit decimal math
-    norm = f"({K1!r}d * (1.0d - {B!r}d + {B!r}d * {dlq} / {avgdl!r}d))"
-    tfn = f"cast(sloppy_freq / (sloppy_freq + {norm}) as float)"
-    sim = f"cast(cast({weight!r}d as float) * {tfn} as float)"
+
+def _compose_lucene_tokens(
+    hits: DataFrame, tokens: DataFrame, terms: list[str], boost: float
+) -> DataFrame:
+    """``similarity='lucene'`` for the token-table path: corpus statistics
+    (dl, overlap-discounted dl_norm, per-term df) come from the token
+    table itself — the index-statistics analog; one eager tiny job turns
+    them into plan-time literals, then the float32 composition joins the
+    per-doc dl_norm onto the freq-carrying hits."""
+    doclen = tokens.groupBy(F.col("doc_id").cast("string").alias("doc_id")).agg(
+        F.count("*").alias("dl"),
+        F.sum((F.col("pos_inc") > 0).cast("long")).alias("dl_norm"),
+    )
+    df_rows = (
+        tokens.filter(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    dfs = {r["token"]: int(r["df"]) for r in df_rows}
+    weight, avgdl = _lucene_corpus_consts(doclen, dfs, terms, boost)
+    sim = _lucene_sim_sql(weight, avgdl)
     return (
-        stats.filter("matched")
+        hits.withColumnRenamed("score", "payload_score")
+        .join(doclen.select("doc_id", "dl_norm"), "doc_id")
         .withColumn("similarity", F.expr(sim).cast("double"))
         .withColumn(
             "score",
@@ -930,6 +980,27 @@ def match_lattice_tokens(
             tokens.select(F.col("doc_id").cast("string")).distinct(), params
         )
 
+    want_lucene = (
+        params.include_span_score and params.similarity == "lucene"
+    )
+    if want_lucene:
+        if explain:
+            raise ValueError(
+                "similarity='lucene' with explain=True is not supported "
+                "on the token-table path"
+            )
+        if phrase_prefix:
+            raise ValueError(
+                "similarity='lucene' does not support phrase_prefix yet "
+                "(idf over the prefix expansion set)"
+            )
+        if doclen is not None:
+            raise ValueError(
+                "similarity='lucene' derives dl/dl_norm/df from the token "
+                "table itself; a precomputed doclen table (pruned-index "
+                "path) is not supported — pass the full token table"
+            )
+
     in_order, pf, ln = params.in_order, params.payload_function, (
         params.payload_length_norm_factor
     )
@@ -974,16 +1045,28 @@ def match_lattice_tokens(
                 yield match_tokens_pandas(
                     head, terms, slop, in_order, pf, ln, dtype,
                     prefix_last=phrase_prefix, explain=explain,
+                    with_freq=want_lucene,
                 )
         if carry is not None and len(carry):
             yield match_tokens_pandas(
                 carry, terms, slop, in_order, pf, ln, dtype,
                 prefix_last=phrase_prefix, explain=explain,
+                with_freq=want_lucene,
             )
 
-    schema = EXPLAIN_HITS_SCHEMA if explain else HITS_SCHEMA
+    if want_lucene:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(HITS_SCHEMA.fields)
+            + [T.StructField("sloppy_freq", T.DoubleType(), True)]
+        )
+    else:
+        schema = EXPLAIN_HITS_SCHEMA if explain else HITS_SCHEMA
     hits = cand.mapInPandas(run, schema=schema)
-    if params.include_span_score:
+    if want_lucene:
+        hits = _compose_lucene_tokens(hits, tokens, terms, float(params.boost))
+    elif params.include_span_score:
         hits = _compose_score(
             hits, tokens, terms, params, phrase_prefix, doclen=doclen
         )

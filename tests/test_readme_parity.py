@@ -158,6 +158,35 @@ def test_lucene_similarity_mode_reproduces_reference_end_to_end(
     assert rows[0]["score"] == pytest.approx(ref, rel=1e-6)
 
 
+def test_lucene_mode_doc_scan_and_token_paths_agree(spark):
+    """The two physical plans of similarity='lucene' (fused doc-scan
+    kernel vs token-table match + stats-from-index) are one operator:
+    same docs, same float32 scores."""
+    from full_lattice_search_spark.datagen import synth_documents
+    from full_lattice_search_spark.functions.tokenizer import (
+        lattice_tokenize,
+    )
+    from full_lattice_search_spark.operators.match import (
+        match_lattice_tokens,
+    )
+
+    docs = synth_documents(spark, 60, seed=31, mega_every=0).cache()
+    toks = lattice_tokenize(docs, LatticeConfig()).cache()
+    params = MatchLatticeParams(slop=6, similarity="lucene")
+    key = lambda df: sorted(
+        (r["doc_id"], r["score"], r["n_spans"], r["similarity"])
+        for r in df.collect()
+    )
+    via_docs = key(
+        match_lattice(docs, "quick brown", LatticeConfig(), params)
+    )
+    via_toks = key(
+        match_lattice_tokens(toks, "quick brown", LatticeConfig(), params)
+    )
+    assert via_docs == via_toks
+    assert len(via_docs) > 0
+
+
 def test_lucene_mode_guards(spark):
     with pytest.raises(ValueError, match=r"unknown similarity"):
         MatchLatticeParams(similarity="tfidf")

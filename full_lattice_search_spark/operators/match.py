@@ -697,17 +697,39 @@ def _lucene_corpus_consts(
 
 
 def _compose_lucene_tokens(
-    hits: DataFrame, tokens: DataFrame, terms: list[str], boost: float
+    hits: DataFrame,
+    tokens: DataFrame,
+    terms: list[str],
+    boost: float,
+    doclen: DataFrame | None = None,
 ) -> DataFrame:
     """``similarity='lucene'`` for the token-table path: corpus statistics
     (dl, overlap-discounted dl_norm, per-term df) come from the token
     table itself — the index-statistics analog; one eager tiny job turns
     them into plan-time literals, then the float32 composition joins the
-    per-doc dl_norm onto the freq-carrying hits."""
-    doclen = tokens.groupBy(F.col("doc_id").cast("string").alias("doc_id")).agg(
-        F.count("*").alias("dl"),
-        F.sum((F.col("pos_inc") > 0).cast("long")).alias("dl_norm"),
-    )
+    per-doc dl_norm onto the freq-carrying hits.
+
+    ``doclen``: precomputed (doc_id, dl, dl_norm) statistics table (the
+    materialized index writes one).  Required when ``tokens`` is a pruned
+    view: per-doc lengths can't be recovered from pruned postings, while
+    per-term df CAN (a term's postings all live in its own bucket)."""
+    if doclen is None:
+        doclen = tokens.groupBy(
+            F.col("doc_id").cast("string").alias("doc_id")
+        ).agg(
+            F.count("*").alias("dl"),
+            F.sum((F.col("pos_inc") > 0).cast("long")).alias("dl_norm"),
+        )
+    elif "dl_norm" not in doclen.columns:
+        raise ValueError(
+            "similarity='lucene' needs a doclen table with a dl_norm "
+            "column (overlap-discounted length); rebuild the token index "
+            "with this version's write_token_index"
+        )
+    else:
+        doclen = doclen.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "dl", "dl_norm"
+        )
     df_rows = (
         tokens.filter(F.col("token").isin(terms))
         .groupBy("token")
@@ -994,11 +1016,11 @@ def match_lattice_tokens(
                 "similarity='lucene' does not support phrase_prefix yet "
                 "(idf over the prefix expansion set)"
             )
-        if doclen is not None:
+        if doclen is not None and "dl_norm" not in doclen.columns:
             raise ValueError(
-                "similarity='lucene' derives dl/dl_norm/df from the token "
-                "table itself; a precomputed doclen table (pruned-index "
-                "path) is not supported — pass the full token table"
+                "similarity='lucene' needs a doclen table with a dl_norm "
+                "column; rebuild the token index with this version's "
+                "write_token_index"
             )
 
     in_order, pf, ln = params.in_order, params.payload_function, (
@@ -1065,7 +1087,9 @@ def match_lattice_tokens(
         schema = EXPLAIN_HITS_SCHEMA if explain else HITS_SCHEMA
     hits = cand.mapInPandas(run, schema=schema)
     if want_lucene:
-        hits = _compose_lucene_tokens(hits, tokens, terms, float(params.boost))
+        hits = _compose_lucene_tokens(
+            hits, tokens, terms, float(params.boost), doclen=doclen
+        )
     elif params.include_span_score:
         hits = _compose_score(
             hits, tokens, terms, params, phrase_prefix, doclen=doclen

@@ -48,7 +48,9 @@ def write_token_index(
     index-statistics analog (Lucene keeps norms/doc lengths at index time).
     Queries with ``include_span_score`` read BM25 stats from it instead of
     re-scanning the pruned postings (which would be both wrong and a full
-    scan)."""
+    scan).  The table carries both ``dl`` (full token count — avgdl's
+    basis) and ``dl_norm`` (overlap-discounted count, what a Lucene norm
+    stores) so BOTH similarity flavors work over the pruned index."""
     config = config or LatticeConfig()
     tokens = lattice_tokenize(docs, config).withColumn(
         "token_bucket", token_bucket_col("token", n_token_buckets)
@@ -57,7 +59,10 @@ def write_token_index(
     (
         docs.sparkSession.read.parquet(path)  # re-read, not re-tokenize
         .groupBy("doc_id")
-        .agg(F.count("*").alias("dl"))
+        .agg(
+            F.count("*").alias("dl"),
+            F.sum((F.col("pos_inc") > 0).cast("long")).alias("dl_norm"),
+        )
         .write.mode("overwrite")
         .parquet(f"{path}_doclen")
     )

@@ -40,6 +40,30 @@ def test_indexed_match_parity_with_scan(spark, index_path):
     assert len(indexed) > 0
 
 
+def test_indexed_lucene_similarity_parity_with_scan(spark, index_path):
+    """similarity='lucene' over the PRUNED index: per-doc lengths come
+    from the persisted doclen stats table (dl + dl_norm), per-term df
+    from the term's own bucket — results must equal the full doc-scan
+    path bit-for-bit."""
+    docs = synth_documents(spark, 60, seed=13, mega_every=0)
+    params = MatchLatticeParams(slop=3, similarity="lucene")
+    key = lambda rows: sorted(
+        (r["doc_id"], r["score"], r["n_spans"], r["similarity"])
+        for r in rows
+    )
+    direct = key(
+        match_lattice(docs, "the quick", LatticeConfig(), params).collect()
+    )
+    indexed = key(
+        match_lattice_indexed(
+            spark, index_path, "the quick", LatticeConfig(), params,
+            n_token_buckets=16,
+        ).collect()
+    )
+    assert indexed == direct
+    assert len(indexed) > 0
+
+
 def test_index_scan_prunes_partitions(spark, index_path):
     hits = match_lattice_indexed(
         spark, index_path, "quick", LatticeConfig(), MatchLatticeParams(),

@@ -541,67 +541,80 @@ def _compose_from_stats(stats: DataFrame, boost: float) -> DataFrame:
     per-document output of the fused tokenize+match+stats kernel
     (SPAN_STATS_SCHEMA) — payload-score hit fields plus the raw corpus
     statistics (dl, per-query-term tf).  BM25 is assembled from those
-    columns with the same formula/constants as ``bm25_scores``:
+    columns with the same formula/constants as ``bm25_scores``.
 
-    - corpus aggregate (n_docs with >=1 token, total token count): one
-      tiny all-to-one agg, broadcast back;
-    - per-term df: explode of the (at most |terms|+prefix-expansions)-entry
-      tf arrays, grouped by token — a vocabulary-sized result, broadcast;
-    - per-doc similarity: sum of idf*tf_norm over the exploded rows.
+    Corpus statistics (n_docs, total length, per-term df — a
+    query-vocabulary-sized set) are collected by one eager tiny job over
+    the persisted stats frame and become PLAN-TIME LITERALS (an idf map),
+    so the per-doc similarity is a row-local fold over that doc's ≤|terms|
+    tf entries — no explode, no join, no aggregation shuffle.  (The HOF
+    lambda runs interpreted, but over a handful of elements per row with
+    literal-only math — not the hot-path-HOF anti-pattern, which is about
+    corpus-sized arrays re-evaluating heavy subexpressions.)
 
-    ``stats`` is consumed by three subtrees (corpus agg, df/sims, hit
-    filter), so the caller persists it — one materialization of one row
-    per document, O(docs) not O(tokens)."""
+    ``stats`` is consumed by the eager stats job and the final
+    projection, so the caller persists it — one materialization of one
+    row per document, O(docs) not O(tokens)."""
+    import math
+
     from full_lattice_search_spark.operators.bm25 import B, K1
 
-    corpus = stats.filter(F.col("dl") > 0).agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
-    )
-    ex = (
+    crow = stats.filter(F.col("dl") > 0).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    n_docs = int(crow["n"] or 0)
+    total_len = int(crow["t"] or 0)
+    df_rows = (
         stats.filter(F.size("tf_tokens") > 0)
-        .select(
-            "doc_id",
-            "dl",
-            F.explode(F.arrays_zip("tf_tokens", "tf_counts")).alias("z"),
-        )
-        .select(
-            "doc_id",
-            "dl",
-            F.col("z.tf_tokens").alias("token"),
-            F.col("z.tf_counts").alias("tf"),
-        )
+        .select(F.explode("tf_tokens").alias("token"))
+        .groupBy("token")
+        .count()
+        .collect()
     )
-    df_ = ex.groupBy("token").agg(F.count("*").alias("df"))
-    sims = (
-        ex.join(F.broadcast(df_), "token")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "idf",
-            F.log(
-                1.0
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
+    matched = stats.filter("matched")
+    if n_docs == 0 or not df_rows:  # no postings → no matched rows either
+        return matched.select(
+            "doc_id",
+            F.lit(None).cast("double").alias("score"),
+            "n_spans",
+            "payload_score",
+            F.lit(None).cast("double").alias("similarity"),
         )
-        .withColumn(
-            "tf_norm",
-            (F.col("tf") * (K1 + 1))
+    avgdl = total_len / n_docs
+    idf_map = F.create_map(
+        *[
+            c
+            for r in df_rows
+            for c in (
+                F.lit(r["token"]),
+                F.lit(
+                    math.log(
+                        1.0
+                        + (n_docs - int(r["count"]) + 0.5)
+                        / (int(r["count"]) + 0.5)
+                    )
+                ),
+            )
+        ]
+    )
+    dl_d = F.col("dl").cast("double")
+    similarity = F.aggregate(
+        F.arrays_zip("tf_tokens", "tf_counts"),
+        F.lit(0.0),
+        lambda acc, z: acc
+        + F.element_at(idf_map, z["tf_tokens"])
+        * (
+            z["tf_counts"].cast("double")
+            * F.lit(K1 + 1.0)
             / (
-                F.col("tf")
-                + K1
-                * (
-                    1.0
-                    - B
-                    + B * F.col("dl") / (F.col("total_len") / F.col("n_docs"))
-                )
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("idf") * F.col("tf_norm")).alias("similarity"))
+                z["tf_counts"].cast("double")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * dl_d / F.lit(avgdl))
+            )
+        ),
     )
     return (
-        stats.filter("matched")
-        .select("doc_id", "payload_score", "n_spans")
-        .join(sims, "doc_id")
+        matched.withColumn("similarity", similarity)
         .withColumn(
             "score",
             F.col("payload_score") * F.col("similarity") * F.lit(boost),

@@ -39,6 +39,31 @@ def decode_media_bytes(ref: str, payload: bytes | None) -> np.ndarray:
     )
 
 
+# --- feature-decoder registry -------------------------------------------
+# The injection point for real decode kernels: register one callable per
+# media kind (signature: pd.Series of media_refs → list of N_FEATURES-long
+# int lists).  ``media_features`` dispatches per kind inside the Arrow
+# batch; kinds without a registered decoder fall back to the md5 stub, so
+# a deployment can bring PIL for images while audio stays stubbed (or
+# vice versa) without touching this module.
+from collections.abc import Callable  # noqa: E402
+
+_FEATURE_DECODERS: dict[str, Callable[[pd.Series], list[list[int]]]] = {}
+
+
+def register_feature_decoder(
+    kind: str, fn: Callable[[pd.Series], list[list[int]]]
+) -> None:
+    """Install a real decode kernel for one media kind ('image', 'audio',
+    'video', ...).  Called on the driver before building the plan; the
+    callable is shipped to workers inside the UDF closure."""
+    _FEATURE_DECODERS[kind] = fn
+
+
+def unregister_feature_decoder(kind: str) -> None:
+    _FEATURE_DECODERS.pop(kind, None)
+
+
 def _fake_decode_features(refs: pd.Series) -> list[list[int]]:
     """Deterministic stand-in: feature j = hex digit j of md5(media_ref).
     Chosen because DuckDB can reproduce it, giving the stub a real oracle."""
@@ -68,15 +93,26 @@ def media_features(
         F.col("s.kind").alias("kind"),
     )
 
+    decoders = dict(_FEATURE_DECODERS)  # snapshot into the UDF closure
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_stub:  # pragma: no cover — needs real decode libs
+            if not use_stub and not decoders:
+                # pragma: no cover — needs real decode libs
                 feats = [
                     decode_media_bytes(r, None).tolist()
                     for r in pdf["media_ref"]
                 ]
             else:
-                feats = _fake_decode_features(pdf["media_ref"])
+                feats = [None] * len(pdf)
+                kinds = pdf["kind"].to_numpy()
+                refs = pdf["media_ref"].reset_index(drop=True)
+                for kind in pd.unique(pdf["kind"]):
+                    idx = np.flatnonzero(kinds == kind)
+                    fn = decoders.get(kind, _fake_decode_features)
+                    sub = fn(refs.iloc[idx])
+                    for i, f in zip(idx, sub):
+                        feats[i] = f
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].reset_index(drop=True),

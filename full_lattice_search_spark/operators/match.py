@@ -791,9 +791,15 @@ def match_lattice(
     frequencies) come from the SAME fused kernel that matches: it emits one
     row per document carrying both the hit fields and (dl, per-term tf),
     and the similarity is composed from those columns — the corpus is
-    tokenized exactly once.  The per-doc stats frame feeds three subtrees
-    (corpus agg, df/sims, hit filter), so it is persisted
+    tokenized exactly once.  The per-doc stats frame feeds the eager
+    statistics job and the hit projection, so it is persisted
     (MEMORY_AND_DISK) — one O(docs)-row materialization, never O(tokens).
+    Cache lifecycle: Spark keeps the cached frame registered until
+    ``unpersist``/session end, so a LONG-RUNNING driver issuing many
+    ad-hoc composed queries should either run standing queries through
+    the materialized token index (statistics live in the index, nothing
+    is cached per query) or periodically call
+    ``spark.catalog.clearCache()``; a per-job driver doesn't care.
     The JVM substring prefilter is skipped on this path because corpus
     statistics are defined over every document, matched or not; the
     matcher's own term filter makes non-candidate docs nearly free.

@@ -147,6 +147,7 @@ def search(
     size: int = 10,
     doc_id_col: str = "doc_id",
     spans_col: str = "spans",
+    similarity: str | None = None,
 ) -> dict:
     """Run an ES-style search body over an interleaved-documents table and
     return an ES-shaped response.
@@ -154,10 +155,23 @@ def search(
     The ``field`` in the body addresses the lattice-mapped field — in the
     engine's table model that is the ``spans`` column (single lattice field
     per table, like a single mapped field per index); pass ``spans_col`` to
-    point elsewhere."""
+    point elsewhere.
+
+    ``similarity``: 'engine' | 'lucene' — the per-index similarity
+    SETTING (in ES this lives in the index settings/mapping, not the
+    query DSL, which is why it's a call argument rather than a body
+    key).  'lucene' ranks with the reconstructed reference scoring
+    (FIXTURES.md §6)."""
+    import dataclasses
+
     from full_lattice_search_spark.operators.match import match_lattice
 
     parsed = parse_match_lattice(body)
+    if similarity is not None:
+        parsed = dataclasses.replace(
+            parsed,
+            params=dataclasses.replace(parsed.params, similarity=similarity),
+        )
     t0 = time.time()
     # Collect one row beyond `size`: if it exists, the corpus has more
     # matches than the page and the ES contract requires relation 'gte'

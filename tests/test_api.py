@@ -84,6 +84,27 @@ DOC1 = "quick|0|0|0.6 brown|1|0|0.7 fox|2|0|0.5 box|2|0|0.1 jumped|3|0|0.9"
 DOC2 = "how|0|0|0.6 now|1|0|0.7 brown|2|0|0.5 yellow|2|0|0.1 cow|3|0|0.9"
 
 
+def test_search_similarity_setting(spark):
+    """The per-index similarity setting flows through the facade: on the
+    README text fixture, similarity='lucene' returns the reference's
+    published max_score (9041.438) while the default engine flavor
+    scores the same doc differently."""
+    from full_lattice_search_spark.schema import DOCUMENTS_SCHEMA
+
+    TEXT = (
+        "the|0|0|0.9 quick|1|0|0.6 brick|1|1|0.2 "
+        "fox|2|0|0.5 box|2|1|0.09 jumped|3|0|1.0"
+    )
+    docs = spark.createDataFrame(
+        [("1", [("text", TEXT, None, 0)])], DOCUMENTS_SCHEMA
+    )
+    body = {"match_lattice": {"spans": {"query": "quick jumped", "slop": 1}}}
+    lucene = search(docs, body, LatticeConfig(), similarity="lucene")
+    assert lucene["hits"]["max_score"] == pytest.approx(9041.438, rel=1e-6)
+    engine = search(docs, body, LatticeConfig())
+    assert engine["hits"]["max_score"] != lucene["hits"]["max_score"]
+
+
 def test_search_end_to_end(spark):
     docs = spark.createDataFrame(
         [

@@ -321,3 +321,64 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def near_dup_groups(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs:
+    ``(doc_id, group_id)`` where group_id = the MIN doc_id of the
+    component — the canonical representative a curation pass keeps.
+
+    Why it exists: dropping ``doc_b`` of every pair (the greedy the
+    curation pipeline uses) under-drops on transitive chains whose
+    smallest member is connected through larger intermediaries (component
+    {3—9, 9—5} keeps BOTH 3 and 5).  Min-label propagation converges to
+    the true component minimum regardless of shape.
+
+    Physical plan: a driver loop of declarative rounds (like the k-means
+    trainer) — per round one groupBy(min) over (labels ∪ labels joined
+    across edges), converging in O(component diameter) rounds; near-dup
+    components are shallow (dup clusters, not social graphs), so this is
+    2-4 rounds in practice.  Per-round cost: one join + one partial-agg
+    shuffle on doc_id.  For adversarially deep graphs swap in
+    large-star/small-star (same primitive, fewer rounds); the
+    convergence check is a count, not a data collect.  Deterministic:
+    min() has no tie ambiguity.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        # cache the new frontier FIRST so the convergence check and the
+        # next round read materialized labels instead of recomputing the
+        # whole propagation chain
+        propagated = (
+            labels.join(edges, labels["doc_id"] == edges["src"])
+            .select(F.col("dst").alias("doc_id"), "group_id")
+            .unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("group_id").alias("group_id"))
+            .persist()
+        )
+        changed = (
+            propagated.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = propagated
+        if changed == 0:
+            break
+    return labels

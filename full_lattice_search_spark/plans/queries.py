@@ -1367,6 +1367,109 @@ FROM est WHERE jaccard_est >= 0.5
 """
 
 
+# Three-level near-dup CHAIN: original X, X' = last-3-words-dropped
+# (+1000000), X'' = last-6-words-dropped (+2000000).  X' pairs with both
+# ends; X—X'' may or may not pair directly — exactly the transitive shape
+# where pair-greedy dedup under-drops and connected components is needed.
+_CHAIN_TRUNC = (
+    "array_to_string(list_slice(string_split(text, ' '), 1,"
+    " greatest(len(string_split(text, ' ')) - {n}, 1)), ' ')"
+)
+_CHAIN_DUP_SQL = f"""
+aug AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {_CHAIN_TRUNC.format(n=3)} AS text, lang
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, {_CHAIN_TRUNC.format(n=6)} AS text, lang
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _docs_with_dup_chain(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+
+    def trunc(n):
+        return F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1,"
+            f" greatest(size(split(text, ' ')) - {n}, 1)))"
+        )
+
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    c1 = tenth.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
+        "text", trunc(3)
+    )
+    c2 = tenth.withColumn("doc_id", F.col("doc_id") + 2000000).withColumn(
+        "text", trunc(6)
+    )
+    return docs.unionByName(c1).unionByName(c2)
+
+
+def q_dedup_groups(spark, sf_dir):
+    """Connected components over verified near-dup pairs (min-label
+    propagation, operators/dedup.py:near_dup_groups): every chained
+    duplicate resolves to its component's MIN doc_id — the canonical
+    representative.  The pair-greedy drop the curation pipeline uses
+    under-drops exactly on these chains."""
+    from full_lattice_search_spark.operators.dedup import near_dup_groups
+
+    docs = _docs_with_dup_chain(spark, sf_dir)
+    sigs = minhash_signature(docs).persist()
+    pairs = minhash_jaccard(sigs, lsh_candidate_pairs(sigs)).filter(
+        F.col("jaccard_est") >= 0.5
+    )
+    groups = near_dup_groups(pairs)
+    return groups.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE {_CHAIN_DUP_SQL[1:]},
+{_MINHASH_SQL[1:]},
+sig AS (
+  SELECT doc_id, {_MH_LIST} AS mh FROM mh
+),
+bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(CAST(mh[4*b + 1] AS VARCHAR) || '|' ||
+             CAST(mh[4*b + 2] AS VARCHAR) || '|' ||
+             CAST(mh[4*b + 3] AS VARCHAR) || '|' ||
+             CAST(mh[4*b + 4] AS VARCHAR)) AS band_key
+  FROM sig, LATERAL (SELECT UNNEST([0, 1, 2, 3]) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE round(len(list_filter(list_zip(sa.mh, sb.mh),
+                              p -> p[1] = p[2])) / 16.0, 4) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM est
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM est
+),
+reach(src, dst) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(min(dst) AS BIGINT) AS group_id
+FROM reach GROUP BY src
+"""
+
+
 def q_simhash(spark, sf_dir):
     return simhash_signature(_read(spark, sf_dir, "documents"))
 
@@ -2474,6 +2577,7 @@ QUERIES = {
     "ann_lsh_hyperplane": q_ann_lsh_hyperplane,
     "tokenize_follow_on": q_tokenize_follow_on,
     "match_lucene_sim": q_match_lucene_sim,
+    "dedup_groups": q_dedup_groups,
 }
 
 ORACLES = {
@@ -2536,4 +2640,5 @@ ORACLES = {
     "ann_lsh_hyperplane": SQL_ANN_LSH_HYPERPLANE,
     "tokenize_follow_on": SQL_TOKENIZE_FOLLOW_ON,
     "match_lucene_sim": SQL_MATCH_LUCENE_SIM,
+    "dedup_groups": SQL_DEDUP_GROUPS,
 }

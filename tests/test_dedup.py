@@ -36,3 +36,29 @@ def test_lsh_band_bucket_cap(spark):
     )
     # the genuine near-dup pair survives the cap
     assert any(r["doc_a"] == 100 and r["doc_b"] == 101 for r in capped)
+
+
+def test_near_dup_groups_transitive_chain(spark):
+    """Connected components vs the pair-greedy drop: in component
+    {3—9, 9—5} the greedy (drop doc_b of each pair) keeps BOTH 3 and 5;
+    min-label propagation resolves every member to the true component
+    minimum.  Also checks a long path (worst diameter) and disjoint
+    components."""
+    from full_lattice_search_spark.operators.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame(
+        [
+            (3, 9), (5, 9),          # star through a larger intermediary
+            (10, 11), (11, 12), (12, 13), (13, 14),  # path, diameter 4
+            (20, 21),                # separate 2-clique
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["group_id"] for r in near_dup_groups(pairs).collect()
+    }
+    assert got == {
+        3: 3, 9: 3, 5: 3,
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20,
+    }

@@ -72,8 +72,15 @@ def curate_documents(
     dedup: str = "exact",
     max_band_bucket: int | None = None,
 ) -> DataFrame:
-    """Returns (doc_id, text, n_tokens, quality) for surviving documents."""
-    if dedup not in ("exact", "minhash", "none"):
+    """Returns (doc_id, text, n_tokens, quality) for surviving documents.
+
+    ``dedup`` modes: 'exact' (text-hash groups), 'minhash' (pair-greedy:
+    drop every doc that LSH-pairs with a smaller doc_id — one join, but
+    under-drops transitive chains whose smallest member connects through
+    larger intermediaries), 'minhash_cc' (connected components over the
+    pairs — keeps exactly one doc per transitive near-dup component, at
+    the cost of the label-propagation rounds), 'none'."""
+    if dedup not in ("exact", "minhash", "minhash_cc", "none"):
         raise ValueError(f"unknown dedup mode [{dedup}]")
     config = config or LatticeConfig()
 
@@ -109,5 +116,15 @@ def curate_documents(
     # doc_a < doc_b (lexical on strings); max_band_bucket guards the
     # band self-join against degenerate boilerplate buckets at scale
     pairs = lsh_candidate_pairs(sigs, max_band_bucket=max_band_bucket)
+    if dedup == "minhash_cc":
+        from full_lattice_search_spark.operators.dedup import (
+            near_dup_groups,
+        )
+
+        groups = near_dup_groups(pairs)
+        dropped = groups.filter(
+            F.col("doc_id") != F.col("group_id")
+        ).select("doc_id")
+        return kept.join(dropped, "doc_id", "left_anti")
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return kept.join(dropped, "doc_id", "left_anti")

@@ -70,3 +70,24 @@ def test_curate_none_keeps_dups(corpus):
 def test_curate_bad_mode(corpus):
     with pytest.raises(ValueError, match="unknown dedup mode"):
         curate_documents(corpus, dedup="fuzzy")
+
+
+def test_curate_minhash_cc_keeps_one_per_component(spark):
+    """'minhash_cc' keeps exactly one document per transitive near-dup
+    component.  The pair-greedy 'minhash' mode can only under-drop
+    (a member whose neighbors are all larger survives), so the cc
+    survivor set is always a subset of the greedy one."""
+    from full_lattice_search_spark.datagen import synth_documents
+    from full_lattice_search_spark.operators.curate import curate_documents
+
+    docs = synth_documents(spark, 80, seed=41, mega_every=0)
+    greedy = {
+        r["doc_id"]
+        for r in curate_documents(docs, dedup="minhash").collect()
+    }
+    cc = {
+        r["doc_id"]
+        for r in curate_documents(docs, dedup="minhash_cc").collect()
+    }
+    assert cc, "cc mode returned nothing"
+    assert cc <= greedy  # cc only removes additional transitive members

@@ -93,6 +93,22 @@ def bm25_scores(
     return scored
 
 
+def smallfloat_byte4_roundtrip(i: int) -> int:
+    """Lucene 8 ``SmallFloat.byte4ToInt(intToByte4(i))`` — the doc-length
+    quantization a norm byte survives.  ``NUM_FREE_VALUES = 255 -
+    longToInt4(Integer.MAX_VALUE) = 24`` small values get dedicated bytes
+    (exact), larger values encode ``24 + top-4-significant-bits(i - 24)``
+    (so also exact below 40, and e.g. 50 stays 50 while 61 -> 60)."""
+    if i < 24:
+        return i
+    j = i - 24
+    nb = j.bit_length()
+    if nb >= 4:
+        shift = nb - 4
+        j = (j >> shift) << shift
+    return 24 + j
+
+
 def lucene_legacy_span_similarity(
     dfs: list[int],
     n_docs: int,
@@ -145,7 +161,8 @@ def lucene_legacy_span_similarity(
         )
     )
     weight = f32(f32(boost * (k1 + 1.0)) * idf)
-    norm = k1 * (1.0 - b + b * float(dl) / float(f32(avgdl)))
+    norm = k1 * (1.0 - b + b * float(smallfloat_byte4_roundtrip(dl))
+                 / float(f32(avgdl)))
     freq = f32(1.0 / (1.0 + width))
     tfn = f32(float(freq) / (float(freq) + norm))
     return float(f32(weight * tfn))

@@ -633,7 +633,8 @@ def _compose_from_stats_lucene(
 
     - freq: the kernel's float32 sloppy span frequency (Σ 1/(1+gaps));
     - dl: overlap-discounted token count, quantized to Lucene's 4-bit
-      SmallFloat norm (top-4-bits truncation — exact below 16);
+      SmallFloat norm (byte4 roundtrip with the 24-value free-value
+      offset — exact below 40, 24 + top-4-bits of (dl-24) above);
     - avgdl: sumTotalTermFreq/docCount (FULL token count — Lucene's dl
       and avgdl are structurally inconsistent on lattice fields);
     - idf/weight: corpus constants — ONE eager tiny statistics job over
@@ -673,8 +674,19 @@ def _lucene_sim_sql(weight: float, avgdl: float) -> str:
     Spark SQL and would silently turn the norm into 6-digit decimal math."""
     from full_lattice_search_spark.operators.bm25 import B, K1
 
-    s_expr = "greatest(cast(floor(log2(greatest(dl_norm, 1))) as int) - 3, 0)"
-    dlq = f"shiftleft(shiftright(dl_norm, {s_expr}), {s_expr})"
+    # Lucene SmallFloat.byte4ToInt(intToByte4(dl_norm)): exact below 24
+    # (NUM_FREE_VALUES = 255 - longToInt4(Integer.MAX_VALUE) = 24 small
+    # values get dedicated bytes), else 24 + top-4-significant-bits of
+    # (dl_norm - 24).  A plain top-4-bit truncation is wrong for e.g.
+    # 21 (->20) and 50 (->48): Lucene keeps both exact.
+    s_expr = (
+        "greatest(cast(floor(log2(greatest(dl_norm - 24, 1))) as int)"
+        " - 3, 0)"
+    )
+    dlq = (
+        f"(case when dl_norm < 24 then dl_norm else 24 + "
+        f"shiftleft(shiftright(dl_norm - 24, {s_expr}), {s_expr}) end)"
+    )
     norm = f"({K1!r}d * (1.0d - {B!r}d + {B!r}d * {dlq} / {avgdl!r}d))"
     tfn = f"cast(sloppy_freq / (sloppy_freq + {norm}) as float)"
     return f"cast(cast({weight!r}d as float) * {tfn} as float)"

@@ -280,10 +280,16 @@ c{j} AS (
         f"WHERE token = '{t}') + 0.5))"
         for t in terms
     )
-    dlq = (
-        "(dl_norm >> greatest(CAST(floor(log2(greatest(dl_norm, 1))) AS INT)"
-        " - 3, 0)) << greatest(CAST(floor(log2(greatest(dl_norm, 1))) AS INT)"
+    # SmallFloat.intToByte4 roundtrip: exact < 24 (free values), else
+    # 24 + top-4-significant-bits of (dl_norm - 24) — mirrors
+    # operators/match.py:_lucene_sim_sql
+    dlq_s = (
+        "greatest(CAST(floor(log2(greatest(dl_norm - 24, 1))) AS INT)"
         " - 3, 0)"
+    )
+    dlq = (
+        f"(CASE WHEN dl_norm < 24 THEN dl_norm ELSE 24 + "
+        f"(((dl_norm - 24) >> {dlq_s}) << {dlq_s}) END)"
     )
     return f"""
 WITH {_ABS_CTE},

@@ -203,26 +203,62 @@ def test_lucene_mode_guards(spark):
         )
 
 
-def test_smallfloat_norm_quantization_matches_lucene():
-    """The SQL top-4-bits truncation equals Lucene's
-    SmallFloat.byte4ToInt(intToByte4(dl)) roundtrip for every dl that
-    matters (exact below 16, truncating above)."""
+def _java_long_to_int4(i: int) -> int:
+    """Faithful Lucene 8 SmallFloat.longToInt4 (util/SmallFloat.java)."""
+    num_bits = i.bit_length()
+    if num_bits < 4:
+        return i
+    shift = num_bits - 4
+    encoded = (i >> shift) & 0x07
+    return encoded | ((shift + 1) << 3)
 
-    def lucene_int4_roundtrip(i: int) -> int:
-        num_bits = i.bit_length()
-        if num_bits < 4:
-            return i
-        shift = num_bits - 4
-        return ((i >> shift) << shift)
+
+def _java_int4_to_long(i: int) -> int:
+    bits = i & 0x07
+    shift = (i >> 3) - 1
+    if shift == -1:
+        return bits
+    return (bits | 0x08) << shift
+
+
+_NUM_FREE_VALUES = 255 - _java_long_to_int4(2**31 - 1)  # == 24
+
+
+def _java_byte4_roundtrip(i: int) -> int:
+    """byte4ToInt(intToByte4(i)) via the faithful encode/decode pair."""
+    if i < _NUM_FREE_VALUES:
+        return i
+    enc = _NUM_FREE_VALUES + _java_long_to_int4(i - _NUM_FREE_VALUES)
+    assert enc <= 255
+    return _NUM_FREE_VALUES + _java_int4_to_long(enc - _NUM_FREE_VALUES)
+
+
+def test_smallfloat_norm_quantization_matches_lucene():
+    """Both the python helper and the SQL formula equal Lucene's
+    SmallFloat.byte4ToInt(intToByte4(dl)) roundtrip — which is exact
+    below 40 thanks to the NUM_FREE_VALUES=24 offset (a plain top-4-bit
+    truncation would wrongly map 21->20 and 50->48)."""
+    from full_lattice_search_spark.operators.bm25 import (
+        smallfloat_byte4_roundtrip,
+    )
 
     def sql_quantize(i: int) -> int:
         import math
 
-        s = max(int(math.floor(math.log2(max(i, 1)))) - 3, 0)
-        return (i >> s) << s
+        if i < 24:
+            return i
+        s = max(int(math.floor(math.log2(max(i - 24, 1)))) - 3, 0)
+        return 24 + (((i - 24) >> s) << s)
 
-    for dl in list(range(0, 200)) + [255, 256, 1000, 12345, 1 << 20]:
-        assert sql_quantize(dl) == lucene_int4_roundtrip(dl), dl
+    assert _NUM_FREE_VALUES == 24
+    # the two counterexamples from the review
+    assert _java_byte4_roundtrip(21) == 21
+    assert _java_byte4_roundtrip(50) == 50
+    assert _java_byte4_roundtrip(61) == 60
+    for dl in list(range(0, 5000)) + [12345, 1 << 20, 2**31 - 1]:
+        want = _java_byte4_roundtrip(dl)
+        assert sql_quantize(dl) == want, dl
+        assert smallfloat_byte4_roundtrip(dl) == want, dl
 
 
 def test_engine_vs_lucene_similarity_delta_documented(audio_hit, text_hit):
@@ -245,3 +281,34 @@ def test_engine_vs_lucene_similarity_delta_documented(audio_hit, text_hit):
     assert audio_hit["similarity"] / lucene_a == pytest.approx(
         7.0, rel=1e-5
     )
+
+
+@pytest.mark.parametrize("n_fill", [48, 59])  # dl = 50 and 61
+def test_lucene_norm_quantization_end_to_end(spark, n_fill):
+    """similarity='lucene' on docs whose length sits in the range where
+    the byte4 free-value offset matters (16-63): dl=50 must stay 50
+    (pure truncation would use 48), dl=61 must quantize to 60.  The
+    engine's similarity is compared against the Java-faithful model,
+    which quantizes internally."""
+    dl = n_fill + 2
+    fill = " ".join(
+        f"fill{i}|{i + 2}|0|0.5" for i in range(n_fill)
+    )
+    lattice = f"quick|0|0|0.5 jumped|1|0|0.5 {fill}"
+    hit = _hit(
+        spark,
+        lattice,
+        "quick jumped",
+        LatticeConfig(),
+        MatchLatticeParams(slop=0, in_order=True, similarity="lucene"),
+    )
+    want = lucene_legacy_span_similarity(
+        dfs=[1, 1], n_docs=1, dl=dl, avgdl=float(dl), width=0
+    )
+    assert hit["similarity"] == pytest.approx(want, rel=1e-6)
+    # and the quantized dl really differs from plain truncation at 61
+    from full_lattice_search_spark.operators.bm25 import (
+        smallfloat_byte4_roundtrip,
+    )
+    assert smallfloat_byte4_roundtrip(50) == 50
+    assert smallfloat_byte4_roundtrip(61) == 60

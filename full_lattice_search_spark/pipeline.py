@@ -83,47 +83,42 @@ def _process_bucket_group(
     out = out_small.unionByName(out_mega).withColumn(
         "bucket", bucket_col("doc_id", n_buckets)
     )
-    out.write.mode("overwrite").partitionBy("bucket").parquet(output_dir)
+    # Checkpoint metrics ride the WRITE job via the Observation API —
+    # per-bucket conditional aggregates computed while the rows stream to
+    # parquet, so the just-written output is never re-scanned (at 100 TB a
+    # read-back would double the write path's I/O).  |group| is bounded by
+    # buckets_per_job, so the 3·|group| aggregate columns stay small.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"extract-{run_id}-{group[0]}")
+    aggs = []
+    for b in group:
+        cond = (F.col("bucket") == b).cast("long")
+        aggs += [
+            F.sum(cond).alias(f"d{b}"),
+            F.sum(F.col("n_spans") * cond).cast("long").alias(f"s{b}"),
+            F.sum(F.col("n_text_chars") * cond).cast("long").alias(f"c{b}"),
+        ]
+    out.observe(obs, aggs[0], *aggs[1:]).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(output_dir)
 
     wall = time.time() - t0
-    result = spark.read.parquet(output_dir).filter(
-        F.col("bucket").isin(group)
-    )
-    metrics = (
-        result.groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_spans").cast("long").alias("n_spans"),
-            F.sum("n_text_chars").cast("long").alias("n_text_chars"),
-        )
-        .select(
-            "bucket",
-            F.lit(run_id).alias("run_id"),
-            "n_docs",
-            "n_spans",
-            "n_text_chars",
-            F.lit("done").alias("status"),
-            F.lit(float(wall)).alias("wall_secs"),
-        )
-    )
-    # buckets with zero surviving docs still need a marker row
+    got = obs.get  # blocks until the write action has fired the metrics
     import pandas as pd  # local import keeps module import light
 
-    metrics_pdf = metrics.toPandas()
-    empty = [b for b in group if b not in set(metrics_pdf["bucket"])]
-    if empty:
-        empty_pdf = pd.DataFrame(
-            {
-                "bucket": empty,
-                "run_id": run_id,
-                "n_docs": 0,
-                "n_spans": 0,
-                "n_text_chars": 0,
-                "status": "done",
-                "wall_secs": float(wall),
-            }
-        )
-        metrics_pdf = pd.concat([metrics_pdf, empty_pdf], ignore_index=True)
+    metrics_pdf = pd.DataFrame(
+        {
+            "bucket": group,
+            "run_id": run_id,
+            # empty buckets aggregate to null — they still get marker rows
+            "n_docs": [int(got[f"d{b}"] or 0) for b in group],
+            "n_spans": [int(got[f"s{b}"] or 0) for b in group],
+            "n_text_chars": [int(got[f"c{b}"] or 0) for b in group],
+            "status": "done",
+            "wall_secs": float(wall),
+        }
+    )
     spark.createDataFrame(metrics_pdf, CHECKPOINT_SCHEMA).write.mode(
         "append"
     ).parquet(checkpoint_dir)

@@ -110,3 +110,40 @@ def test_crash_between_groups_preserves_progress(spark, dirs):
     result = spark.read.parquet(out_dir)
     assert result.count() == 40
     assert result.select("doc_id").distinct().count() == 40
+
+
+def test_no_output_rescan_for_metrics(spark, dirs, monkeypatch):
+    """Checkpoint metrics ride the write job (Observation API): the
+    just-written output parquet must never be read back during a run —
+    at scale a read-back doubles the write path's I/O."""
+    import pyspark.sql.readwriter as rw
+
+    out_dir, ckpt_dir = dirs
+    docs = synth_documents(spark, 30, seed=7, mega_every=10).cache()
+    docs.count()  # materialize before instrumenting the reader
+
+    read_paths = []
+    orig = rw.DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        read_paths.extend(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spy)
+    m = run_extraction(spark, docs, out_dir, ckpt_dir, n_buckets=4)
+    assert m["docs"] == 30
+    assert all(not p.startswith(out_dir) for p in read_paths), read_paths
+    # and the observed metrics match what actually landed on disk
+    result = spark.read.parquet(out_dir)
+    per_bucket = {
+        r["bucket"]: (r["n"], r["s"])
+        for r in result.groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("n_spans").alias("s"))
+        .collect()
+    }
+    from full_lattice_search_spark.schema import CHECKPOINT_SCHEMA
+
+    ckpt = spark.read.schema(CHECKPOINT_SCHEMA).parquet(ckpt_dir)
+    for r in ckpt.collect():
+        want = per_bucket.get(r["bucket"], (0, 0))
+        assert (r["n_docs"], r["n_spans"]) == (want[0], want[1] or 0)

@@ -323,11 +323,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def _star_cc(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log² n) rounds regardless of component DIAMETER, vs O(diameter)
+    for min-label propagation — the fallback for adversarially deep dup
+    chains (a 50-link chain is ~6 rounds here, 50 there).
+
+    ``edges``: symmetric (src, dst) pairs.  Returns (doc_id, group_id =
+    component minimum) for every node appearing in ``edges``.  Each round
+    is two groupBy(min) + join passes over the current edge list; the
+    fixpoint check is a set-difference count on the (shrinking) edges."""
+    all_nodes = (
+        edges.select(F.col("src").alias("doc_id")).distinct().persist()
+    )
+    # directed invariant: src > dst (parent pointers toward smaller ids).
+    # Each round references E three times, so the logical plan would
+    # TRIPLE per round without lineage truncation — localCheckpoint keeps
+    # the per-round plan constant-size (on a fault-tolerant cluster run,
+    # point spark.sparkContext.setCheckpointDir at durable storage and
+    # swap in .checkpoint()).
+    E = (
+        edges.filter(F.col("src") > F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iters):
+        # large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ u)
+        es = E.unionByName(
+            E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            es.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", "src").alias("m"))
+        )
+        large = (
+            es.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star: all smaller neighbors (and u itself) link to the min
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+        new_E = (
+            large.join(mins2, "src")
+            .select(F.col("dst").alias("v"), "m")
+            .filter(F.col("v") != F.col("m"))
+            .unionByName(
+                mins2.select(F.col("src").alias("v"), "m")
+            )
+            .distinct()
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_E.subtract(E).count() + E.subtract(new_E).count()
+        )
+        E = new_E
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"near_dup_groups(algorithm='star'): no fixpoint within "
+            f"max_iters={max_iters} — labels may split true components",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # at the fixpoint E is a star forest (child, root); roots + isolated
+    # nodes label themselves
+    labels = all_nodes.join(
+        E.select(F.col("src").alias("doc_id"), F.col("dst").alias("gid")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("gid", "doc_id").alias("group_id")
+    )
+    all_nodes.unpersist()
+    return labels
+
+
 def near_dup_groups(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Connected components over near-duplicate candidate pairs:
     ``(doc_id, group_id)`` where group_id = the MIN doc_id of the
@@ -344,32 +430,39 @@ def near_dup_groups(
     across edges), converging in O(component diameter) rounds; near-dup
     components are shallow (dup clusters, not social graphs), so this is
     2-4 rounds in practice.  Per-round cost: one join + one partial-agg
-    shuffle on doc_id.  For adversarially deep graphs swap in
-    large-star/small-star (same primitive, fewer rounds); the
-    convergence check is a count, not a data collect.  Deterministic:
-    min() has no tie ambiguity.
+    shuffle on doc_id.  For adversarially deep graphs pass
+    ``algorithm='star'`` — the large-star/small-star alternation
+    (``_star_cc``) whose round count is O(log² n), independent of
+    component diameter.  The convergence check is a count, not a data
+    collect.  Deterministic: min() has no tie ambiguity.
     """
+    if algorithm not in ("min_label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
+    if algorithm == "star":
+        return _star_cc(edges, max_iters)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("group_id", F.col("doc_id"))
     )
     for _ in range(max_iters):
-        # cache the new frontier FIRST so the convergence check and the
-        # next round read materialized labels instead of recomputing the
-        # whole propagation chain
+        # materialize AND truncate lineage each round (labels feeds the
+        # next round twice, so the logical plan would double per round
+        # under plain persist — localCheckpoint keeps it constant-size;
+        # the convergence check then reads materialized labels instead of
+        # recomputing the whole propagation chain)
         propagated = (
             labels.join(edges, labels["doc_id"] == edges["src"])
             .select(F.col("dst").alias("doc_id"), "group_id")
             .unionByName(labels)
             .groupBy("doc_id")
             .agg(F.min("group_id").alias("group_id"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             propagated.alias("n")
@@ -377,8 +470,21 @@ def near_dup_groups(
             .filter(F.col("n.group_id") != F.col("o.group_id"))
             .count()
         )
-        labels.unpersist()
         labels = propagated
         if changed == 0:
             break
+    else:
+        # Non-convergence must be LOUD: curation's minhash_cc mode keys
+        # "keep one doc per component" off these labels, and stale labels
+        # silently keep extra docs.
+        import warnings
+
+        warnings.warn(
+            f"near_dup_groups: min-label propagation did not converge "
+            f"within max_iters={max_iters} ({changed} labels still "
+            f"changing) — returned groups may split true components; "
+            f"raise max_iters or use algorithm='star' for deep chains",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

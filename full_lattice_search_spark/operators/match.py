@@ -536,6 +536,74 @@ def _compose_score(
     return scored.select(*front, *rest)
 
 
+# Above this many distinct candidate tokens the idf map is no longer
+# inlined as a plan literal (driver memory / plan size); the composition
+# falls back to a relational join on the df frame.
+_MAX_IDF_LITERALS = 4096
+
+
+def _compose_from_stats_join(
+    matched: DataFrame,
+    token_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    boost: float,
+) -> DataFrame:
+    """Join-based twin of ``_compose_from_stats``'s literal-map fold, for
+    unbounded candidate vocabularies (short phrase_prefix on a large
+    corpus): idf stays a distributed (token, df) frame, per-doc tf entries
+    explode (≤ candidate terms per doc) and join on token — AQE picks
+    broadcast vs shuffle by the actual df-frame size.  Same formula and
+    constants; only the float64 summation order can differ."""
+    from full_lattice_search_spark.operators.bm25 import B, K1
+
+    idf_df = token_df.select(
+        "token",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("count") + F.lit(0.5))
+            / (F.col("count") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    exploded = matched.select(
+        "doc_id",
+        "n_spans",
+        "payload_score",
+        F.col("dl").cast("double").alias("dl_d"),
+        F.explode(F.arrays_zip("tf_tokens", "tf_counts")).alias("z"),
+    ).select(
+        "doc_id",
+        "n_spans",
+        "payload_score",
+        "dl_d",
+        F.col("z.tf_tokens").alias("token"),
+        F.col("z.tf_counts").cast("double").alias("tf"),
+    )
+    part = F.col("idf") * (
+        F.col("tf")
+        * F.lit(K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("dl_d") / F.lit(avgdl))
+        )
+    )
+    return (
+        exploded.join(idf_df, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_spans").alias("n_spans"),
+            F.first("payload_score").alias("payload_score"),
+            F.sum(part).alias("similarity"),
+        )
+        .withColumn(
+            "score",
+            F.col("payload_score") * F.col("similarity") * F.lit(boost),
+        )
+        .select("doc_id", "score", "n_spans", "payload_score", "similarity")
+    )
+
+
 def _compose_from_stats(stats: DataFrame, boost: float) -> DataFrame:
     """A7 composition from the SINGLE tokenize pass: ``stats`` is the
     per-document output of the fused tokenize+match+stats kernel
@@ -564,13 +632,18 @@ def _compose_from_stats(stats: DataFrame, boost: float) -> DataFrame:
     ).collect()[0]
     n_docs = int(crow["n"] or 0)
     total_len = int(crow["t"] or 0)
-    df_rows = (
+    token_df = (
         stats.filter(F.size("tf_tokens") > 0)
         .select(F.explode("tf_tokens").alias("token"))
         .groupBy("token")
         .count()
-        .collect()
     )
+    # The literal idf map is only safe for a bounded vocabulary: a
+    # phrase_prefix query's candidate set is every distinct corpus token
+    # with the prefix, and inlining that into the plan (and the driver)
+    # does not scale.  Probe with limit(N+1) — if the vocabulary exceeds
+    # the cap, compose via a relational join on the df frame instead.
+    df_rows = token_df.limit(_MAX_IDF_LITERALS + 1).collect()
     matched = stats.filter("matched")
     if n_docs == 0 or not df_rows:  # no postings → no matched rows either
         return matched.select(
@@ -581,6 +654,10 @@ def _compose_from_stats(stats: DataFrame, boost: float) -> DataFrame:
             F.lit(None).cast("double").alias("similarity"),
         )
     avgdl = total_len / n_docs
+    if len(df_rows) > _MAX_IDF_LITERALS:
+        return _compose_from_stats_join(
+            matched, token_df, n_docs, avgdl, boost
+        )
     idf_map = F.create_map(
         *[
             c

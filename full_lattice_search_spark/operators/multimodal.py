@@ -97,22 +97,32 @@ def media_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_stub and not decoders:
-                # pragma: no cover — needs real decode libs
-                feats = [
-                    decode_media_bytes(r, None).tolist()
-                    for r in pdf["media_ref"]
-                ]
-            else:
-                feats = [None] * len(pdf)
-                kinds = pdf["kind"].to_numpy()
-                refs = pdf["media_ref"].reset_index(drop=True)
-                for kind in pd.unique(pdf["kind"]):
-                    idx = np.flatnonzero(kinds == kind)
-                    fn = decoders.get(kind, _fake_decode_features)
-                    sub = fn(refs.iloc[idx])
-                    for i, f in zip(idx, sub):
-                        feats[i] = f
+            feats = [None] * len(pdf)
+            kinds = pdf["kind"].to_numpy()
+            refs = pdf["media_ref"].reset_index(drop=True)
+            for kind in pd.unique(pdf["kind"]):
+                idx = np.flatnonzero(kinds == kind)
+                fn = decoders.get(kind)
+                if fn is None:
+                    if use_stub:
+                        fn = _fake_decode_features
+                    else:
+                        # use_stub=False promises REAL decode for every
+                        # kind: an unregistered kind must go through
+                        # decode_media_bytes (raising where decode libs
+                        # are absent), never silently back to the stub —
+                        # a silent stub here would mask a missing decoder
+                        # in production
+                        sub = [
+                            decode_media_bytes(r, None).tolist()
+                            for r in refs.iloc[idx]
+                        ]
+                        for i, f in zip(idx, sub):
+                            feats[i] = f
+                        continue
+                sub = fn(refs.iloc[idx])
+                for i, f in zip(idx, sub):
+                    feats[i] = f
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].reset_index(drop=True),

@@ -2088,6 +2088,73 @@ def q_media_features(spark, sf_dir):
     return feats.select(F.col("doc_id").cast("long").alias("doc_id"), *cols)
 
 
+def q_media_wav_features(spark, sf_dir):
+    """The NON-STUB media path: a real RIFF/PCM parse (functions/wav.py)
+    through the decoder registry with use_stub=False — the engine only
+    matches the oracle by correctly walking the RIFF chunk stream and
+    decoding int16 PCM, while the oracle predicts the same features in
+    closed form from the synthesized waveform's md5-digit parameters."""
+    from full_lattice_search_spark.functions.wav import wav_feature_decoder
+    from full_lattice_search_spark.operators.multimodal import (
+        register_feature_decoder,
+        unregister_feature_decoder,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct('kind', 'audio', 'text', cast(null as string),"
+            " 'media_ref', concat('media://wav/', cast(doc_id as string)),"
+            " 'offset', 0))"
+        ).alias("spans"),
+    )
+    register_feature_decoder("audio", wav_feature_decoder)
+    try:
+        feats = media_features(docs, use_stub=False)
+    finally:
+        unregister_feature_decoder("audio")
+    names = [
+        "rate", "channels", "bits", "n_samples",
+        "first_s", "last_s", "max_s", "min_s",
+    ]
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[
+            F.col("features")[j].cast("long").alias(names[j])
+            for j in range(8)
+        ],
+    )
+
+
+_WAV_DIG = (
+    "(strpos('0123456789abcdef', substr(md5('media://wav/' || "
+    "CAST(doc_id AS VARCHAR)), {k}, 1)) - 1)"
+)
+
+SQL_MEDIA_WAV_FEATURES = f"""
+WITH p AS (
+  SELECT doc_id,
+         {_WAV_DIG.format(k=1)} AS d0,
+         {_WAV_DIG.format(k=2)} AS d1,
+         {_WAV_DIG.format(k=3)} AS d2,
+         {_WAV_DIG.format(k=4)} AS d3
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(8000 + 500 * d0 AS BIGINT) AS rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(64 + 8 * d1 AS BIGINT) AS n_samples,
+       CAST(256 * (d2 + 1) AS BIGINT) AS first_s,
+       CAST(CASE WHEN ((64 + 8 * d1 - 1) // (4 + d3)) % 2 = 0
+                 THEN 256 * (d2 + 1) ELSE -256 * (d2 + 1) END
+            AS BIGINT) AS last_s,
+       CAST(256 * (d2 + 1) AS BIGINT) AS max_s,
+       CAST(-256 * (d2 + 1) AS BIGINT) AS min_s
+FROM p
+"""
+
+
 SQL_MEDIA_FEATURES = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
 """ + ",\n".join(
@@ -2584,6 +2651,7 @@ QUERIES = {
     "tokenize_follow_on": q_tokenize_follow_on,
     "match_lucene_sim": q_match_lucene_sim,
     "dedup_groups": q_dedup_groups,
+    "media_wav_features": q_media_wav_features,
 }
 
 ORACLES = {
@@ -2647,4 +2715,5 @@ ORACLES = {
     "tokenize_follow_on": SQL_TOKENIZE_FOLLOW_ON,
     "match_lucene_sim": SQL_MATCH_LUCENE_SIM,
     "dedup_groups": SQL_DEDUP_GROUPS,
+    "media_wav_features": SQL_MEDIA_WAV_FEATURES,
 }

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_lsh_band_bucket_cap(spark):
     """max_band_bucket drops degenerate (boilerplate-sized) band buckets
@@ -62,3 +64,59 @@ def test_near_dup_groups_transitive_chain(spark):
         10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
         20: 20, 21: 20,
     }
+
+
+def test_star_cc_matches_min_label_on_random_graphs(spark):
+    """Property: large-star/small-star and min-label propagation produce
+    identical (doc_id -> component-min) labelings on random graphs."""
+    import random
+
+    from full_lattice_search_spark.operators.dedup import near_dup_groups
+
+    rng = random.Random(41)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        m = rng.randint(1, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        lab = lambda alg: {
+            r["doc_id"]: r["group_id"]
+            for r in near_dup_groups(pairs, algorithm=alg).collect()
+        }
+        assert lab("star") == lab("min_label"), (trial, edges)
+
+
+def test_star_cc_bounded_rounds_on_deep_chain(spark):
+    """A planted 50-link chain (diameter 50) must converge for the star
+    algorithm within 8 rounds — min-label needs ~50 and WARNS when
+    capped at 8."""
+    import warnings as w
+
+    from full_lattice_search_spark.operators.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)  # non-convergence -> fail
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in near_dup_groups(
+                pairs, max_iters=8, algorithm="star"
+            ).collect()
+        }
+    assert got == {i: 0 for i in range(51)}
+    # the same budget makes min-label warn loudly instead of failing silently
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        near_dup_groups(pairs, max_iters=8, algorithm="min_label").collect()
+
+
+def test_near_dup_groups_unknown_algorithm(spark):
+    from full_lattice_search_spark.operators.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        near_dup_groups(pairs, algorithm="bfs")

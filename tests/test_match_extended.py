@@ -82,3 +82,33 @@ def test_bm25_scores_spark(spark):
     tfn = 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 5 / 5))
     assert abs(scored["doc1"] - (idf_brown + idf_fox) * tfn) < 1e-9
     assert abs(scored["doc2"] - idf_brown * tfn) < 1e-9
+
+
+def test_idf_literal_cap_falls_back_to_join(spark, monkeypatch):
+    """Over the literal cap the composed doc-scan scoring switches to the
+    relational join on the df frame — same scores (float64 summation
+    order aside).  A short prefix expands to many candidate tokens, which
+    is exactly the case the literal map cannot absorb at scale."""
+    import full_lattice_search_spark.operators.match as m
+    from full_lattice_search_spark.datagen import synth_documents
+
+    docs = synth_documents(spark, 50, seed=13, mega_every=0).cache()
+    params = MatchLatticeParams(slop=3, include_span_score=True)
+
+    def run():
+        return {
+            r["doc_id"]: (
+                round(r["score"], 6),
+                r["n_spans"],
+                round(r["similarity"], 6),
+            )
+            for r in m.match_lattice(
+                docs, "the q", LatticeConfig(), params, phrase_prefix=True
+            ).collect()
+        }
+
+    via_literals = run()
+    monkeypatch.setattr(m, "_MAX_IDF_LITERALS", 1)
+    via_join = run()
+    assert via_join == via_literals
+    assert len(via_join) > 0

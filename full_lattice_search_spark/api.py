@@ -176,9 +176,16 @@ def search(
     # Collect one row beyond `size`: if it exists, the corpus has more
     # matches than the page and the ES contract requires relation 'gte'
     # rather than asserting the page length as the exact total.
+    # a list-shaped query is a multi-phrase slot list — pass through
+    # untouched (str() would flatten it into analyzable text)
+    query = (
+        parsed.query
+        if isinstance(parsed.query, list)
+        else str(parsed.query)
+    )
     overfetch = match_lattice(
         docs,
-        str(parsed.query),
+        query,
         config or LatticeConfig(),
         parsed.params,
         top_k=size + 1,

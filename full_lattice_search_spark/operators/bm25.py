@@ -50,7 +50,10 @@ def bm25_scores(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
 
-    pred = F.col("token").isin(terms)
+    # multi-phrase slots (list elements) flatten: every alternative is a
+    # candidate term contributing its own tf/df
+    flat = [x for t in terms for x in ([t] if isinstance(t, str) else t)]
+    pred = F.col("token").isin(flat)
     if prefix_last and terms:
         pred = pred | F.col("token").startswith(terms[-1])
     cand = toks.filter(pred)

@@ -345,7 +345,7 @@ def match_tokens_pandas(
     if slop < 0:  # audio seconds→slop conversion can go negative: no match
         return _empty_hits(explain, with_freq)
     assert slop < (1 << 39), "slop out of range for position encoding"
-    keep = tokens["token"].isin(terms)
+    keep = tokens["token"].isin(_flat_terms(terms))
     if prefix_last and terms:
         keep = keep | tokens["token"].str.startswith(terms[-1])
     cand = tokens[keep]
@@ -367,6 +367,12 @@ def match_tokens_pandas(
             # prefix (SpanMultiTermQueryWrapper(PrefixQuery) analog,
             # mapper/LatticeFieldMapper.java:251-271)
             m = cand["token"].str.startswith(t).to_numpy()
+        elif not isinstance(t, str):
+            # multi-phrase slot: any of the alternatives matches this
+            # position (SpanOrQuery over the slot's terms — the
+            # MultiPhraseQuery analog); the union list inherits the
+            # (abs_pos, seq) postings order from `cand`
+            m = np.isin(tok_arr, t)
         else:
             m = tok_arr == t
         if not m.any():
@@ -482,14 +488,59 @@ def _unordered_matches_by_doc(
 
 
 def _resolve(
-    query: str,
+    query,
     config: LatticeConfig,
     params: MatchLatticeParams,
     analyzer: str = "default",
 ):
-    terms = analyze_query(query, config, analyzer)
+    if isinstance(query, str):
+        terms = analyze_query(query, config, analyzer)
+    else:
+        terms = analyze_multi_phrase(query, config, analyzer)
     slop = params.effective_slop(config, len(terms))
     return terms, slop
+
+
+def analyze_multi_phrase(
+    slots, config: LatticeConfig, analyzer: str = "default"
+) -> list:
+    """Multi-phrase query analysis (Lucene MultiPhraseQuery analog — the
+    reference delegates phrase/multi-phrase/phrase-prefix to the text
+    query machinery, ``mapper/LatticeFieldMapper.java:259-271``): the
+    query is a list of per-position slots, each a string or a list of
+    alternative strings ("synonyms at one position").  Every alternative
+    runs through the query analyzer and must come out as exactly one
+    term.  Returns the slot list with single-alternative slots collapsed
+    to plain strings (the downstream kernels treat a list slot as
+    match-any-of)."""
+    terms: list = []
+    for slot in slots:
+        alts = [slot] if isinstance(slot, str) else list(slot)
+        if not alts:
+            raise ValueError("multi-phrase slot with no alternatives")
+        analyzed = []
+        for alt in alts:
+            t = analyze_query(alt, config, analyzer)
+            if len(t) != 1:
+                raise ValueError(
+                    "each multi-phrase alternative must analyze to one "
+                    f"term; {alt!r} analyzed to {t!r}"
+                )
+            analyzed.append(t[0])
+        uniq = sorted(set(analyzed))
+        terms.append(uniq[0] if len(uniq) == 1 else uniq)
+    return terms
+
+
+def _flat_terms(terms: list) -> list[str]:
+    """Flatten multi-phrase slots to the candidate-term list."""
+    out: list[str] = []
+    for t in terms:
+        if isinstance(t, str):
+            out.append(t)
+        else:
+            out.extend(t)
+    return out
 
 
 def _zero_terms_hits(source: DataFrame, params: MatchLatticeParams) -> DataFrame:
@@ -700,8 +751,27 @@ def _compose_from_stats(stats: DataFrame, boost: float) -> DataFrame:
     )
 
 
+def _lucene_idf_terms(
+    terms: list, dfs: dict[str, int], prefix: bool
+) -> list[str]:
+    """The distinct term set Lucene's SpanWeight collects for the idf sum
+    (``extractTermStates`` dedups into a Map<Term, TermStates>; terms
+    absent from the corpus contribute no TermStatistics).  For
+    phrase_prefix the last slot expands to every corpus token with the
+    prefix ("blended" statistics over the rewritten SpanOr); multi-phrase
+    slots contribute each alternative."""
+    fixed = terms[:-1] if prefix else terms
+    out = list(dict.fromkeys(_flat_terms(fixed)))
+    if prefix:
+        p = terms[-1]
+        out.extend(
+            t for t in sorted(dfs) if t.startswith(p) and t not in out
+        )
+    return [t for t in out if dfs.get(t, 0) > 0]
+
+
 def _compose_from_stats_lucene(
-    stats: DataFrame, terms: list[str], boost: float
+    stats: DataFrame, terms: list, boost: float, prefix: bool = False
 ) -> DataFrame:
     """``similarity='lucene'``: compose the RECONSTRUCTED ES-7.x Lucene
     span similarity (see ``bm25.lucene_legacy_span_similarity`` and
@@ -729,7 +799,10 @@ def _compose_from_stats_lucene(
     )
     dfs = {r["token"]: int(r["count"]) for r in df_rows}
     weight, avgdl = _lucene_corpus_consts(
-        stats.select("doc_id", "dl"), dfs, terms, boost
+        stats.select("doc_id", "dl"),
+        dfs,
+        _lucene_idf_terms(terms, dfs, prefix),
+        boost,
     )
     sim = _lucene_sim_sql(weight, avgdl)
     return (
@@ -801,9 +874,10 @@ def _lucene_corpus_consts(
 def _compose_lucene_tokens(
     hits: DataFrame,
     tokens: DataFrame,
-    terms: list[str],
+    terms: list,
     boost: float,
     doclen: DataFrame | None = None,
+    prefix: bool = False,
 ) -> DataFrame:
     """``similarity='lucene'`` for the token-table path: corpus statistics
     (dl, overlap-discounted dl_norm, per-term df) come from the token
@@ -832,14 +906,19 @@ def _compose_lucene_tokens(
         doclen = doclen.select(
             F.col("doc_id").cast("string").alias("doc_id"), "dl", "dl_norm"
         )
+    df_pred = F.col("token").isin(_flat_terms(terms))
+    if prefix:
+        df_pred = df_pred | F.col("token").startswith(terms[-1])
     df_rows = (
-        tokens.filter(F.col("token").isin(terms))
+        tokens.filter(df_pred)
         .groupBy("token")
         .agg(F.countDistinct("doc_id").alias("df"))
         .collect()
     )
     dfs = {r["token"]: int(r["df"]) for r in df_rows}
-    weight, avgdl = _lucene_corpus_consts(doclen, dfs, terms, boost)
+    weight, avgdl = _lucene_corpus_consts(
+        doclen, dfs, _lucene_idf_terms(terms, dfs, prefix), boost
+    )
     sim = _lucene_sim_sql(weight, avgdl)
     return (
         hits.withColumnRenamed("score", "payload_score")
@@ -908,6 +987,11 @@ def match_lattice(
             "streaming/stream.py:match_stream)"
         )
     terms, slop = _resolve(query, config, params, query_analyzer)
+    if phrase_prefix and terms and not isinstance(terms[-1], str):
+        raise ValueError(
+            "phrase_prefix needs a single-term final slot, got "
+            f"alternatives {terms[-1]!r}"
+        )
 
     spark = docs.sparkSession
     if not terms:
@@ -962,7 +1046,7 @@ def match_lattice(
                 out["dl_norm"] = (
                     out["doc_id"].map(dln).fillna(0).astype("int64")
                 )
-                cand_mask = toks["token"].isin(terms)
+                cand_mask = toks["token"].isin(_flat_terms(terms))
                 if phrase_prefix and terms:
                     cand_mask |= (
                         toks["token"].str.startswith(terms[-1]).fillna(False)
@@ -1006,14 +1090,8 @@ def match_lattice(
             run_stats, schema=SPAN_STATS_SCHEMA
         ).persist(StorageLevel.MEMORY_AND_DISK)
         if want_lucene:
-            if phrase_prefix:
-                raise ValueError(
-                    "similarity='lucene' does not support phrase_prefix "
-                    "yet (idf over the prefix expansion set); use the "
-                    "default engine similarity"
-                )
             hits = _compose_from_stats_lucene(
-                stats, terms, float(params.boost)
+                stats, terms, float(params.boost), prefix=phrase_prefix
             )
         else:
             hits = _compose_from_stats(stats, float(params.boost))
@@ -1037,8 +1115,15 @@ def match_lattice(
     # transforming filters (soundex turns 'Robert' into 'R163', which never
     # appears in the raw text; asciifold folds accents the raw text still
     # carries).  With a transforming chain the prefilter must be skipped.
-    if not set(config.effective_follow_on()) - {"lowercase"}:
-        probe = max(terms, key=len).lower()
+    # Multi-phrase slots can't anchor the probe (the doc may contain any
+    # alternative) — probe the longest SINGLE-term slot, or skip when
+    # every slot is a multi.
+    single_terms = [t for t in terms if isinstance(t, str)]
+    if (
+        not set(config.effective_follow_on()) - {"lowercase"}
+        and single_terms
+    ):
+        probe = max(single_terms, key=len).lower()
         narrow = narrow.filter(
             F.lower(F.concat_ws(" ", F.col("values"))).contains(probe)
         )
@@ -1102,6 +1187,11 @@ def match_lattice_tokens(
     config = config or LatticeConfig()
     params = params or MatchLatticeParams()
     terms, slop = _resolve(query, config, params, query_analyzer)
+    if phrase_prefix and terms and not isinstance(terms[-1], str):
+        raise ValueError(
+            "phrase_prefix needs a single-term final slot, got "
+            f"alternatives {terms[-1]!r}"
+        )
     spark = tokens.sparkSession
     if not terms:
         if params.zero_terms_query == "none":
@@ -1119,10 +1209,12 @@ def match_lattice_tokens(
                 "similarity='lucene' with explain=True is not supported "
                 "on the token-table path"
             )
-        if phrase_prefix:
+        if phrase_prefix and doclen is not None:
             raise ValueError(
-                "similarity='lucene' does not support phrase_prefix yet "
-                "(idf over the prefix expansion set)"
+                "similarity='lucene' with phrase_prefix needs the FULL "
+                "token table to expand the prefix vocabulary; a pruned "
+                "index view (doclen passed) cannot supply the expansion "
+                "set's document frequencies"
             )
         if doclen is not None and "dl_norm" not in doclen.columns:
             raise ValueError(
@@ -1135,7 +1227,7 @@ def match_lattice_tokens(
         params.payload_length_norm_factor
     )
 
-    pred = F.col("token").isin(terms)
+    pred = F.col("token").isin(_flat_terms(terms))
     if phrase_prefix:
         pred = pred | F.col("token").startswith(terms[-1])
     cand = tokens.filter(pred).select(
@@ -1196,7 +1288,8 @@ def match_lattice_tokens(
     hits = cand.mapInPandas(run, schema=schema)
     if want_lucene:
         hits = _compose_lucene_tokens(
-            hits, tokens, terms, float(params.boost), doclen=doclen
+            hits, tokens, terms, float(params.boost), doclen=doclen,
+            prefix=phrase_prefix,
         )
     elif params.include_span_score:
         hits = _compose_score(

@@ -252,10 +252,19 @@ def q_match_lucene_sim(spark, sf_dir):
     )
 
 
-def _sql_match_lucene_sim(terms: list[str], slop: int) -> str:
+def _sql_match_lucene_sim(
+    terms: list[str], slop: int, prefix: bool = False
+) -> str:
     k = len(terms)
+
+    def slot_pred(j: int, t: str) -> str:
+        if prefix and j == k:
+            return f"token LIKE '{t}%'"
+        return f"token = '{t}'"
+
     ctes = [
-        f"t{j} AS (SELECT doc_id, abs_pos FROM abs_tokens WHERE token = '{t}')"
+        f"t{j} AS (SELECT doc_id, abs_pos FROM abs_tokens "
+        f"WHERE {slot_pred(j, t)})"
         for j, t in enumerate(terms, start=1)
     ]
     chain = (
@@ -273,13 +282,31 @@ c{j} AS (
   GROUP BY {prev}.doc_id, {prev}.p1
 )"""
         prev = f"c{j}"
-    idf_sum = " + ".join(
+    # idf over DISTINCT terms (Lucene SpanWeight dedups term states); a
+    # phrase_prefix last slot contributes every corpus token with the
+    # prefix instead of itself ("blended" statistics over the rewritten
+    # SpanOr — mirrors operators/match.py:_lucene_idf_terms)
+    fixed = list(dict.fromkeys(terms[:-1] if prefix else terms))
+    idf_parts = [
         f"ln(1.0 + ((SELECT n_docs FROM corpus) - "
         f"(SELECT count(DISTINCT doc_id) FROM abs_tokens WHERE token = '{t}')"
         f" + 0.5) / ((SELECT count(DISTINCT doc_id) FROM abs_tokens "
         f"WHERE token = '{t}') + 0.5))"
-        for t in terms
-    )
+        for t in fixed
+    ]
+    if prefix:
+        not_fixed = (
+            " AND token NOT IN (" + ", ".join(f"'{t}'" for t in fixed) + ")"
+            if fixed
+            else ""
+        )
+        idf_parts.append(
+            f"(SELECT coalesce(sum(ln(1.0 + "
+            f"((SELECT n_docs FROM corpus) - df + 0.5) / (df + 0.5))), 0.0)"
+            f" FROM (SELECT count(DISTINCT doc_id) AS df FROM abs_tokens"
+            f" WHERE token LIKE '{terms[-1]}%'{not_fixed} GROUP BY token))"
+        )
+    idf_sum = " + ".join(idf_parts)
     # SmallFloat.intToByte4 roundtrip: exact < 24 (free values), else
     # 24 + top-4-significant-bits of (dl_norm - 24) — mirrors
     # operators/match.py:_lucene_sim_sql
@@ -323,6 +350,36 @@ CROSS JOIN consts
 
 
 SQL_MATCH_LUCENE_SIM = _sql_match_lucene_sim(["hash", "merge"], 5)
+
+
+def q_match_lucene_prefix(spark, sf_dir):
+    """similarity='lucene' × phrase_prefix: idf blends over the prefix
+    expansion vocabulary (every corpus token starting 'mer'), the span
+    chain stretches to the nearest prefix-matching token — the engine and
+    the oracle must agree on BOTH the expansion set's statistics and the
+    float32 composition."""
+    from full_lattice_search_spark.operators.match import match_lattice
+
+    hits = match_lattice(
+        lattice_docs(spark, sf_dir),
+        "hash mer",
+        LatticeConfig(),
+        MatchLatticeParams(
+            slop=5, include_span_score=True, similarity="lucene"
+        ),
+        dtype=np.float64,
+        phrase_prefix=True,
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.round("similarity", 6).alias("similarity"),
+    )
+
+
+SQL_MATCH_LUCENE_PREFIX = _sql_match_lucene_sim(
+    ["hash", "mer"], 5, prefix=True
+)
 
 
 def q_tokenize_buckets(spark, sf_dir):
@@ -375,8 +432,17 @@ def _sql_match_chain(terms: list[str], slop: int, cte: str | None = None) -> str
     passes its own)."""
     cte = cte or _ABS_CTE
     k = len(terms)
+
+    def slot_pred(t):
+        # multi-phrase slot: any alternative matches this position
+        if isinstance(t, str):
+            return f"token = '{t}'"
+        alts = ", ".join(f"'{a}'" for a in t)
+        return f"token IN ({alts})"
+
     ctes = [
-        f"t{j} AS (SELECT doc_id, abs_pos FROM abs_tokens WHERE token = '{t}')"
+        f"t{j} AS (SELECT doc_id, abs_pos FROM abs_tokens "
+        f"WHERE {slot_pred(t)})"
         for j, t in enumerate(terms, start=1)
     ]
     # cnt carries first-term occurrence multiplicity (several alternatives at
@@ -408,6 +474,25 @@ GROUP BY doc_id
 
 
 SQL_MATCH_ORDERED_2 = _sql_match_chain(["hash", "merge"], 5)
+
+
+def q_match_multi_phrase(spark, sf_dir):
+    """P4 multi-phrase (MultiPhraseQuery analog): per-position alternative
+    terms — slot 1 matches hash|key, slot 2 matches merge|order; the span
+    DP unions each slot's postings (reference
+    mapper/LatticeFieldMapper.java:259-271 delegates multi-phrase to the
+    text query machinery)."""
+    hits = _match(
+        spark, sf_dir, [["hash", "key"], ["merge", "order"]], slop=5
+    )
+    return hits.select(
+        "doc_id", F.col("n_spans").cast("long").alias("n_spans")
+    )
+
+
+SQL_MATCH_MULTI_PHRASE = _sql_match_chain(
+    [["hash", "key"], ["merge", "order"]], 5
+)
 
 
 def q_match_indexed_2(spark, sf_dir):
@@ -2652,6 +2737,8 @@ QUERIES = {
     "match_lucene_sim": q_match_lucene_sim,
     "dedup_groups": q_dedup_groups,
     "media_wav_features": q_media_wav_features,
+    "match_multi_phrase": q_match_multi_phrase,
+    "match_lucene_prefix": q_match_lucene_prefix,
 }
 
 ORACLES = {
@@ -2716,4 +2803,6 @@ ORACLES = {
     "match_lucene_sim": SQL_MATCH_LUCENE_SIM,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "media_wav_features": SQL_MEDIA_WAV_FEATURES,
+    "match_multi_phrase": SQL_MATCH_MULTI_PHRASE,
+    "match_lucene_prefix": SQL_MATCH_LUCENE_PREFIX,
 }

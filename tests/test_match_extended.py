@@ -112,3 +112,110 @@ def test_idf_literal_cap_falls_back_to_join(spark, monkeypatch):
     via_join = run()
     assert via_join == via_literals
     assert len(via_join) > 0
+
+
+# ---------------------------------------------------------------------------
+# Multi-phrase (per-position alternatives — MultiPhraseQuery analog)
+# ---------------------------------------------------------------------------
+
+
+def test_multi_phrase_hit_counts():
+    """Alternative terms at one position, hit-count fixtures in the
+    reference YAML suite's style (doc1: quick brown fox/box jumped;
+    doc2: how now brown yellow cow)."""
+    # slot 2 matches fox OR box: the greedy ordered chain (Lucene
+    # NearSpansOrdered) anchors one span per FIRST-slot occurrence, so
+    # brown -> (fox|box) is 1 span even though both alternatives sit at
+    # position 2...
+    hits = match_tokens_pandas(
+        toks(), ["brown", ["fox", "box"]], 0, True, "sum", 1.0
+    )
+    assert list(hits["doc_id"]) == ["doc1"]
+    assert list(hits["n_spans"]) == [1]
+    # ...while alternatives in the FIRST slot each anchor their own span
+    hits_anchor = match_tokens_pandas(
+        toks(), [["fox", "box"], ["jumped"]], 0, True, "sum", 1.0
+    )
+    assert list(hits_anchor["doc_id"]) == ["doc1"]
+    assert list(hits_anchor["n_spans"]) == [2]
+    # first slot alternatives: quick|how anchors both docs
+    hits2 = match_tokens_pandas(
+        toks(), [["quick", "how"], ["brown", "now"]], 0, True, "sum", 1.0
+    )
+    assert sorted(hits2["doc_id"]) == ["doc1", "doc2"]
+    # no alternative present at the slot -> no match
+    hits3 = match_tokens_pandas(
+        toks(), [["quick"], ["purple", "green"]], 5, True, "sum", 1.0
+    )
+    assert len(hits3) == 0
+
+
+def test_multi_phrase_end_to_end_and_analysis(spark):
+    from full_lattice_search_spark.operators.match import (
+        analyze_multi_phrase,
+        match_lattice,
+    )
+    from full_lattice_search_spark.schema import DOCUMENTS_SCHEMA
+
+    cfg = LatticeConfig()
+    # analysis lowercases alternatives and collapses single-alt slots
+    assert analyze_multi_phrase(["Brown", ["Fox", "Box"]], cfg) == [
+        "brown",
+        ["box", "fox"],
+    ]
+    with pytest.raises(ValueError, match="no alternatives"):
+        analyze_multi_phrase(["brown", []], cfg)
+    with pytest.raises(ValueError, match="one term"):
+        analyze_multi_phrase([["two words"]], cfg)
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", [("text", DOC1, None, 0)]),
+            ("d2", [("text", DOC2, None, 0)]),
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    hits = {
+        r["doc_id"]: r["n_spans"]
+        for r in match_lattice(
+            docs,
+            [["quick", "now"], ["brown", "yellow"]],
+            cfg,
+            MatchLatticeParams(slop=0, include_span_score=False),
+        ).collect()
+    }
+    # d1: quick@0 -> brown@1; d2: now@1 -> brown@2 (yellow@2 is the
+    # overlap alternative — nearest wins in the greedy chain)
+    assert hits == {"d1": 1, "d2": 1}
+    # phrase_prefix needs a single-term final slot
+    with pytest.raises(ValueError, match="single-term final slot"):
+        match_lattice(
+            docs,
+            ["brown", ["fo", "bo"]],
+            cfg,
+            MatchLatticeParams(slop=0),
+            phrase_prefix=True,
+        )
+
+
+def test_multi_phrase_through_search_facade(spark):
+    """The ES-DSL facade passes a list-shaped query straight through."""
+    from full_lattice_search_spark.api import search
+    from full_lattice_search_spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", DOC1, None, 0)])], DOCUMENTS_SCHEMA
+    )
+    resp = search(
+        docs,
+        {
+            "match_lattice": {
+                "spans": {
+                    "query": [["quick"], ["brown", "fox"]],
+                    "slop": 0,
+                    "include_span_score": False,
+                }
+            }
+        },
+    )
+    assert resp["hits"]["total"]["value"] == 1

@@ -190,17 +190,29 @@ def test_lucene_mode_doc_scan_and_token_paths_agree(spark):
 def test_lucene_mode_guards(spark):
     with pytest.raises(ValueError, match=r"unknown similarity"):
         MatchLatticeParams(similarity="tfidf")
+
+
+def test_lucene_phrase_prefix_blended_idf(spark):
+    """similarity='lucene' × phrase_prefix: the idf blends over the
+    prefix expansion vocabulary.  'quick jum' expands 'jum' to the one
+    matching corpus token ('jumped'), so the score must equal the
+    explicit 'quick jumped' phrase query's — same statistics, same
+    spans."""
     docs = spark.createDataFrame(
         [("1", [("text", TEXT_LATTICE, None, 0)])], DOCUMENTS_SCHEMA
     )
-    with pytest.raises(ValueError, match="phrase_prefix"):
-        match_lattice(
-            docs,
-            "quick jum",
-            LatticeConfig(),
-            MatchLatticeParams(similarity="lucene"),
-            phrase_prefix=True,
-        )
+    params = MatchLatticeParams(
+        slop=1, in_order=True, payload_function="sum", similarity="lucene"
+    )
+    via_prefix = match_lattice(
+        docs, "quick jum", LatticeConfig(), params, phrase_prefix=True
+    ).collect()
+    via_exact = match_lattice(
+        docs, "quick jumped", LatticeConfig(), params
+    ).collect()
+    assert len(via_prefix) == 1
+    assert via_prefix[0]["score"] == via_exact[0]["score"]
+    assert via_prefix[0]["score"] == pytest.approx(REF_TEXT_SCORE, rel=1e-6)
 
 
 def _java_long_to_int4(i: int) -> int:

@@ -21,14 +21,20 @@ from full_lattice_search_spark.functions.tokenizer import (
     lattice_tokenize,
     tokenize_pandas,
 )
-from full_lattice_search_spark.operators.match import match_lattice
+from full_lattice_search_spark.operators.match import (
+    composed_cache_scope,
+    match_lattice,
+    release_composed_caches,
+)
 
 __all__ = [
     "LatticeConfig",
     "MatchLatticeParams",
     "lattice_tokenize",
     "tokenize_pandas",
+    "composed_cache_scope",
     "match_lattice",
+    "release_composed_caches",
     "parse_match_lattice",
     "search",
 ]

@@ -33,6 +33,7 @@ and the float32 constants (MIN_SCORE=10e-7f, SCORE_MULT=log(10e4)).
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -298,6 +299,24 @@ _EMPTY_HITS = pd.DataFrame(
 )
 
 
+def _hits_output_schema(explain: bool, with_freq: bool):
+    """Arrow schema of ``match_tokens_pandas`` output — the column order
+    mirrors the kernel's construction order (freq before the explain
+    arrays)."""
+    from pyspark.sql import types as T
+
+    fields = list(HITS_SCHEMA.fields)
+    if with_freq:
+        fields.append(T.StructField("sloppy_freq", T.DoubleType(), True))
+    if explain:
+        fields += [
+            T.StructField("span_start", T.ArrayType(T.LongType()), True),
+            T.StructField("span_end", T.ArrayType(T.LongType()), True),
+            T.StructField("span_score", T.ArrayType(T.DoubleType()), True),
+        ]
+    return T.StructType(fields)
+
+
 def _empty_hits(explain: bool, with_freq: bool = False) -> pd.DataFrame:
     out = _EMPTY_HITS.copy()
     if with_freq:
@@ -310,6 +329,57 @@ def _empty_hits(explain: bool, with_freq: bool = False) -> pd.DataFrame:
 # per-doc position space for the cross-document encoding; abs_pos is far
 # below this for any real document, and slop is validated against it
 _DOC_STRIDE = np.int64(1) << 40
+
+
+# Every O(docs) stats frame the composed doc-scan scoring persists is
+# tracked here so callers can scope its lifetime instead of reaching for
+# spark.catalog.clearCache() (which would evict unrelated caches too).
+_COMPOSED_STATS_CACHE: list[DataFrame] = []
+
+
+@contextlib.contextmanager
+def composed_cache_scope():
+    """Scoped lifecycle for composed doc-scan query caches.
+
+    ``match_lattice`` with the reference-default ``include_span_score``
+    persists one O(docs) statistics frame per query and Spark keeps it
+    registered until unpersist/session end.  A long-running interactive
+    driver issuing many distinct composed queries accumulates cache;
+    wrap each query (or batch of queries) in this scope and every stats
+    frame persisted inside is unpersisted on exit::
+
+        with composed_cache_scope():
+            hits = match_lattice(docs, "q", cfg, params)
+            hits.collect()          # consume INSIDE the scope
+
+    Consume the hits inside the scope — using the DataFrame afterwards
+    still works but recomputes the stats pass.  Standing queries should
+    use the materialized token index instead (statistics live in the
+    index; nothing is cached per query)."""
+    mark = len(_COMPOSED_STATS_CACHE)
+    try:
+        yield
+    finally:
+        while len(_COMPOSED_STATS_CACHE) > mark:
+            df = _COMPOSED_STATS_CACHE.pop()
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+
+
+def release_composed_caches() -> int:
+    """Unpersist every tracked composed-query stats frame (the
+    non-context-manager surface).  Returns how many were released."""
+    n = 0
+    while _COMPOSED_STATS_CACHE:
+        df = _COMPOSED_STATS_CACHE.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def match_tokens_pandas(
@@ -920,7 +990,7 @@ def _compose_lucene_tokens(
         doclen, dfs, _lucene_idf_terms(terms, dfs, prefix), boost
     )
     sim = _lucene_sim_sql(weight, avgdl)
-    return (
+    scored = (
         hits.withColumnRenamed("score", "payload_score")
         .join(doclen.select("doc_id", "dl_norm"), "doc_id")
         .withColumn("similarity", F.expr(sim).cast("double"))
@@ -929,8 +999,17 @@ def _compose_lucene_tokens(
             F.expr(f"cast(cast(payload_score as float) * {sim} as float)")
             .cast("double"),
         )
-        .select("doc_id", "score", "n_spans", "payload_score", "similarity")
     )
+    front = ["doc_id", "score", "n_spans", "payload_score", "similarity"]
+    # explain arrays (span_start/span_end/span_score) ride along; the
+    # composition internals (dl_norm, sloppy_freq) are dropped — freq is
+    # recomputable from the span boundaries
+    rest = [
+        c
+        for c in scored.columns
+        if c not in front and c not in ("dl_norm", "sloppy_freq")
+    ]
+    return scored.select(*front, *rest)
 
 
 def match_lattice(
@@ -963,11 +1042,13 @@ def match_lattice(
     statistics job and the hit projection, so it is persisted
     (MEMORY_AND_DISK) — one O(docs)-row materialization, never O(tokens).
     Cache lifecycle: Spark keeps the cached frame registered until
-    ``unpersist``/session end, so a LONG-RUNNING driver issuing many
-    ad-hoc composed queries should either run standing queries through
-    the materialized token index (statistics live in the index, nothing
-    is cached per query) or periodically call
-    ``spark.catalog.clearCache()``; a per-job driver doesn't care.
+    ``unpersist``/session end.  A LONG-RUNNING driver issuing many
+    ad-hoc composed queries should wrap each in
+    ``composed_cache_scope()`` (or call ``release_composed_caches()``
+    periodically) — scoped unpersist of exactly these frames, nothing
+    else; standing queries belong on the materialized token index
+    (statistics live in the index, nothing is cached per query).  A
+    per-job driver doesn't care.
     The JVM substring prefilter is skipped on this path because corpus
     statistics are defined over every document, matched or not; the
     matcher's own term filter makes non-candidate docs nearly free.
@@ -1089,6 +1170,7 @@ def match_lattice(
         stats = narrow.mapInPandas(
             run_stats, schema=SPAN_STATS_SCHEMA
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        _COMPOSED_STATS_CACHE.append(stats)  # see composed_cache_scope
         if want_lucene:
             hits = _compose_from_stats_lucene(
                 stats, terms, float(params.boost), prefix=phrase_prefix
@@ -1128,15 +1210,20 @@ def match_lattice(
             F.lower(F.concat_ws(" ", F.col("values"))).contains(probe)
         )
 
+    want_lucene = (
+        params.include_span_score and params.similarity == "lucene"
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             toks = tokenize_pandas(pdf["doc_id"], pdf["values"], config)
             yield match_tokens_pandas(
                 toks, terms, slop, in_order, pf, ln, dtype,
                 prefix_last=phrase_prefix, explain=explain,
+                with_freq=want_lucene,
             )
 
-    schema = EXPLAIN_HITS_SCHEMA if explain else HITS_SCHEMA
+    schema = _hits_output_schema(explain, with_freq=want_lucene)
     hits = narrow.mapInPandas(run, schema=schema)
     if params.include_span_score:
         # only reachable with explain=True (the default composed path is
@@ -1148,7 +1235,15 @@ def match_lattice(
 
         tokens = lattice_tokenize(docs, config, doc_id_col=doc_id_col,
                                   spans_col=spans_col)
-        hits = _compose_score(hits, tokens, terms, params, phrase_prefix)
+        if want_lucene:
+            hits = _compose_lucene_tokens(
+                hits, tokens, terms, float(params.boost),
+                prefix=phrase_prefix,
+            )
+        else:
+            hits = _compose_score(
+                hits, tokens, terms, params, phrase_prefix
+            )
     elif params.boost != 1.0:
         hits = hits.withColumn(
             "score", F.col("score") * F.lit(float(params.boost))
@@ -1204,11 +1299,6 @@ def match_lattice_tokens(
         params.include_span_score and params.similarity == "lucene"
     )
     if want_lucene:
-        if explain:
-            raise ValueError(
-                "similarity='lucene' with explain=True is not supported "
-                "on the token-table path"
-            )
         if phrase_prefix and doclen is not None:
             raise ValueError(
                 "similarity='lucene' with phrase_prefix needs the FULL "
@@ -1276,15 +1366,7 @@ def match_lattice_tokens(
                 with_freq=want_lucene,
             )
 
-    if want_lucene:
-        from pyspark.sql import types as T
-
-        schema = T.StructType(
-            list(HITS_SCHEMA.fields)
-            + [T.StructField("sloppy_freq", T.DoubleType(), True)]
-        )
-    else:
-        schema = EXPLAIN_HITS_SCHEMA if explain else HITS_SCHEMA
+    schema = _hits_output_schema(explain, with_freq=want_lucene)
     hits = cand.mapInPandas(run, schema=schema)
     if want_lucene:
         hits = _compose_lucene_tokens(

@@ -219,3 +219,43 @@ def test_multi_phrase_through_search_facade(spark):
         },
     )
     assert resp["hits"]["total"]["value"] == 1
+
+
+def test_composed_cache_scope_releases_stats_frames(spark):
+    """The composed doc-scan path persists one O(docs) stats frame per
+    query; composed_cache_scope must leave NOTHING registered in Spark's
+    cache manager after the scope exits (scoped unpersist, not
+    clearCache)."""
+    from full_lattice_search_spark import (
+        composed_cache_scope,
+        release_composed_caches,
+    )
+    from full_lattice_search_spark.datagen import synth_documents
+    from full_lattice_search_spark.operators.match import match_lattice
+
+    release_composed_caches()  # clean slate from earlier tests
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty()
+
+    docs = synth_documents(spark, 30, seed=17, mega_every=0)
+    with composed_cache_scope():
+        hits = match_lattice(
+            docs,
+            "the quick",
+            LatticeConfig(),
+            MatchLatticeParams(slop=5, include_span_score=True),
+        )
+        n = hits.count()
+        assert not cache_mgr.isEmpty()  # stats frame cached inside
+    assert cache_mgr.isEmpty()  # scoped unpersist on exit
+    assert n >= 0
+
+    # non-scope surface: frames accumulate, release_composed_caches drains
+    match_lattice(
+        docs, "the quick", LatticeConfig(),
+        MatchLatticeParams(slop=5, include_span_score=True),
+    ).count()
+    assert not cache_mgr.isEmpty()
+    assert release_composed_caches() >= 1
+    assert cache_mgr.isEmpty()

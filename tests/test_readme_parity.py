@@ -324,3 +324,58 @@ def test_lucene_norm_quantization_end_to_end(spark, n_fill):
     )
     assert smallfloat_byte4_roundtrip(50) == 50
     assert smallfloat_byte4_roundtrip(61) == 60
+
+
+def test_lucene_explain_both_paths(spark):
+    """similarity='lucene' × explain=True: the per-hit span breakdown
+    (reference LatticePayloadScoreQuery.java:316-326 Explanation tree)
+    now carries through the lucene composition on BOTH physical paths —
+    same score as the non-explain plan, span arrays consistent with the
+    sloppy-freq the similarity was computed from."""
+    from full_lattice_search_spark.functions.tokenizer import (
+        lattice_tokenize,
+    )
+    from full_lattice_search_spark.operators.match import (
+        match_lattice_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [("1", [("text", TEXT_LATTICE, None, 0)])], DOCUMENTS_SCHEMA
+    )
+    params = MatchLatticeParams(
+        slop=1, in_order=True, payload_function="sum", similarity="lucene"
+    )
+    via_docs = match_lattice(
+        docs, "quick jumped", LatticeConfig(), params, explain=True
+    ).collect()
+    toks = lattice_tokenize(docs, LatticeConfig())
+    via_toks = match_lattice_tokens(
+        toks, "quick jumped", LatticeConfig(), params, explain=True
+    ).collect()
+    for rows in (via_docs, via_toks):
+        assert len(rows) == 1
+        r = rows[0]
+        # explain arrays present and correct: one span quick@2..jumped@4
+        # (abs_pos is 1-based: the@1 quick@2 fox@3 jumped@4)
+        assert list(r["span_start"]) == [2]
+        assert list(r["span_end"]) == [5]
+        assert len(r["span_score"]) == 1
+        # score identical to the non-explain plan == published reference
+        assert r["score"] == pytest.approx(REF_TEXT_SCORE, rel=1e-6)
+        # similarity consistent with the span breakdown: freq from the
+        # span widths reproduces it through the reconstructed model
+        k = 2
+        freq_width = r["span_end"][0] - r["span_start"][0] - k
+        want = lucene_legacy_span_similarity(
+            dfs=[1, 1], n_docs=N_DOCS, dl=DL, avgdl=AVGDL, width=freq_width
+        )
+        assert r["similarity"] == pytest.approx(want, rel=1e-6)
+        assert r["score"] == pytest.approx(
+            float(
+                np.float32(
+                    np.float32(r["payload_score"])
+                    * np.float32(r["similarity"])
+                )
+            ),
+            rel=1e-7,
+        )

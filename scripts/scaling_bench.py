@@ -109,6 +109,13 @@ for _ in range(repeats):
         .write.mode("overwrite").parquet(out))
     best = min(best, time.time() - t0)
     t0 = time.time()
+    # Compute sink: bare count() over the extraction output.  (A
+    # select("doc_id")-projected count was trialled — an interactive
+    # profile suggested the JVM row-materialization of unused span
+    # structs cost ~35% at 32 slots — but the official harness measured
+    # the projected plan ~2.5x SLOWER at every level, ~10 s flat, i.e. a
+    # serialized component appears once the projection splits the
+    # ColumnarToRow boundary.  Reverted; the bare count stands.)
     extract_spans(docs, LatticeConfig()).count()
     best_compute = min(best_compute, time.time() - t0)
 rows = spark.read.parquet(out).count()
@@ -190,6 +197,20 @@ def calibrate_kernel(nproc: int, narrow_path: str) -> float:
         return time.time() - t0
 
 
+def wait_for_quiet(max_load: float, timeout_s: float = 1800.0) -> float:
+    """Block until the 1-minute load average drops below ``max_load`` (the
+    quiet-window protocol, automated: neighbor load bursts of 9-15 have
+    silently corrupted whole A/B runs on this multi-tenant host).  Returns
+    the load observed when released; gives up after ``timeout_s`` so an
+    always-busy host still produces (flagged) numbers."""
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load < max_load or time.time() - t0 > timeout_s:
+            return load
+        time.sleep(20)
+
+
 def run_level(cpus: int, n_docs: int, corpus: str, repeats: int) -> dict:
     script = _WORKER.format(repo=REPO)
     out = subprocess.run(
@@ -211,65 +232,7 @@ def run_level(cpus: int, n_docs: int, corpus: str, repeats: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    calib_iter = 6_400_000  # ~3 s at 8 procs — long enough to time stably
-    base = tempfile.mkdtemp(prefix="fls_scale_", dir="/dev/shm")
-    corpus = f"{base}/corpus"
-
-    # materialize the shared input once (fresh JVM, not measured), plus a
-    # pre-narrowed twin of it for the Spark-free kernel calibration
-    narrow = f"{base}/narrow"
-    subprocess.run(
-        [
-            sys.executable,
-            "-c",
-            (
-                f"import sys; sys.path.insert(0, {REPO!r})\n"
-                "from pyspark.sql import SparkSession\n"
-                "from full_lattice_search_spark.datagen import synth_documents\n"
-                "from full_lattice_search_spark.operators.extract import _narrow_cols\n"
-                'spark = (SparkSession.builder.master("local[32]")'
-                '.config("spark.ui.enabled","false").getOrCreate())\n'
-                f"synth_documents(spark, {n_docs}, seed=42, mega_every=2000,"
-                f" partitions=128).write.mode('overwrite').parquet({corpus!r})\n"
-                f"spark.read.parquet({corpus!r})"
-                ".select(*_narrow_cols('doc_id', 'spans'))"
-                f".write.mode('overwrite').parquet({narrow!r})\n"
-                "spark.stop()\n"
-            ),
-        ],
-        check=True,
-        capture_output=True,
-        env={**os.environ, "PYTHONPATH": REPO},
-    )
-
-    # Interleave the levels across rounds and keep per-level minima: the
-    # host is multi-tenant, and running levels back-to-back would fold
-    # machine drift into the efficiency ratio.  The calibration run for a
-    # level rides in the same round slot as the engine run it normalizes.
-    calibrate(8, calib_iter // 8)  # fork/pool warmup
-    calibrate_kernel(8, narrow)  # import + page-cache warmup
-    results: dict[int, dict] = {}
-    calib: dict[int, float] = {}
-    kcalib: dict[int, float] = {}
-    for _ in range(repeats):
-        for cpus in LEVELS:
-            r = run_level(cpus, n_docs, corpus, 1)
-            c = calibrate(cpus, calib_iter)
-            calib[cpus] = min(calib.get(cpus, float("inf")), c)
-            k = calibrate_kernel(cpus, narrow)
-            kcalib[cpus] = min(kcalib.get(cpus, float("inf")), k)
-            if cpus not in results:
-                results[cpus] = r
-            else:
-                prev = results[cpus]
-                for kk in ("secs", "compute_secs"):
-                    prev[kk] = min(prev[kk], r[kk])
-                prev["docs_per_sec"] = n_docs / prev["secs"]
-                prev["compute_docs_per_sec"] = n_docs / prev["compute_secs"]
-
+def _render(n_docs, merged_rounds, calib_iter, results, calib, kcalib):
     def ratios(lo: int, hi: int) -> dict:
         w = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
         c = (
@@ -312,7 +275,8 @@ North-rule criterion: throughput scaling efficiency >= 0.8 going from N to
 extraction job (read parquet → extract_spans → coalesce(slots) → write
 parquet, plus a compute-only count-sink variant) on the same materialized
 input at local[8] vs local[32], fresh JVM per level, interleaved rounds
-with per-level minima (min-of-{repeats}) after warming the full python
+with per-level minima (min-of-{merged_rounds} across quiet-window
+sessions, load-gated) after warming the full python
 worker pool.
 
 Generated {stamp} by scripts/scaling_bench.py on a 32-vCPU KVM guest
@@ -382,24 +346,159 @@ the sandbox stand-in for that denominator.  Target ≥ 0.8.
   (tests/test_extract.py::test_datagen_deterministic_across_parallelism and
   the direct-vs-salted equivalence property).
 
+## Round-4 investigation of the 8→32 gap (what was tried)
+
+The headline-pair normalized compute efficiency has been stable at
+0.77-0.78 across three quiet-window sessions (10 interleaved rounds of
+minima) — it is a real effect, not measurement noise.  Attempts to close
+it, all measured A/B at both levels, fresh JVM per cell:
+
+- split sizing 512 KB → 2 MB: the 8-level SPEEDS UP 1.5× (fewer per-task
+  python round-trips) and the ratio collapses — per-level split tuning
+  games the ratio in either direction, so the fixed 512 KB (identical
+  task structure at both levels) stands;
+- Arrow batch 10k → 2k / 40k records: both slower at 32;
+- ParallelGC: slower-or-noise;
+- `spark.task.cpus=2` (16 workers × 2-cpu slots at 32): no absolute win;
+- count-sink projected to one column (to skip JVM row-materialization of
+  unused span structs): ~35% faster in an interactive profile but ~2.5×
+  SLOWER in the official harness — reverted.
+
+Diagnosis: each busy slot runs a python worker AND its task's JVM side
+(scan decode + Arrow ser/de); from 8 → 32 slots that co-scheduling
+crosses the SMT boundary, and the JVM share of each slot stops finding
+idle silicon.  A real cluster adding 4× executors adds 4× PHYSICAL
+cores — the configuration the 4→16 pair models, which meets the target
+(raw ≥ 0.8, normalized ≥ 0.9).  The residual 8→32 gap is the engine's
+two-runtime cost under SMT sharing, disclosed rather than tuned around.
+
 Headline single-level numbers live in BENCH_r{{N}}.json (driver-run
 `bench.py`).
 """
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(md)
-    print(
-        json.dumps(
-            {
-                "levels": results,
-                "calib_secs": calib,
-                "kernel_calib_secs": kcalib,
-                "pair_8_32": {k: round(v, 3) for k, v in head.items()},
-                "pair_4_16": {k: round(v, 3) for k, v in cross.items()},
-            }
+    payload = {
+        "rounds": merged_rounds,
+        "levels": results,
+        "calib_secs": calib,
+        "kernel_calib_secs": kcalib,
+        "pair_8_32": {k: round(v, 3) for k, v in head.items()},
+        "pair_4_16": {k: round(v, 3) for k, v in cross.items()},
+    }
+    with open(f"{REPO}/BENCH/scaling_last.json", "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload))
+
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    calib_iter = 6_400_000  # ~3 s at 8 procs — long enough to time stably
+    # SPARK_GRAFT_REGEN_ONLY=1: re-render BENCH/BASELINE.md from the
+    # accumulated merge JSON without measuring anything (used after a
+    # discarded experiment overwrote the md with invalid cells).
+    if os.environ.get("SPARK_GRAFT_REGEN_ONLY") == "1":
+        with open(os.environ["SPARK_GRAFT_MERGE_JSON"]) as f:
+            prior = json.load(f)
+        _render(
+            n_docs,
+            prior.get("rounds", 0),
+            calib_iter,
+            {int(c): r for c, r in prior["levels"].items()},
+            {int(c): v for c, v in prior["calib_secs"].items()},
+            {int(c): v for c, v in prior["kernel_calib_secs"].items()},
         )
+        return
+    base = tempfile.mkdtemp(prefix="fls_scale_", dir="/dev/shm")
+    corpus = f"{base}/corpus"
+
+    # materialize the shared input once (fresh JVM, not measured), plus a
+    # pre-narrowed twin of it for the Spark-free kernel calibration
+    narrow = f"{base}/narrow"
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                f"import sys; sys.path.insert(0, {REPO!r})\n"
+                "from pyspark.sql import SparkSession\n"
+                "from full_lattice_search_spark.datagen import synth_documents\n"
+                "from full_lattice_search_spark.operators.extract import _narrow_cols\n"
+                'spark = (SparkSession.builder.master("local[32]")'
+                '.config("spark.ui.enabled","false").getOrCreate())\n'
+                f"synth_documents(spark, {n_docs}, seed=42, mega_every=2000,"
+                f" partitions=128).write.mode('overwrite').parquet({corpus!r})\n"
+                f"spark.read.parquet({corpus!r})"
+                ".select(*_narrow_cols('doc_id', 'spans'))"
+                f".write.mode('overwrite').parquet({narrow!r})\n"
+                "spark.stop()\n"
+            ),
+        ],
+        check=True,
+        capture_output=True,
+        env={**os.environ, "PYTHONPATH": REPO},
     )
 
+    # Interleave the levels across rounds and keep per-level minima: the
+    # host is multi-tenant, and running levels back-to-back would fold
+    # machine drift into the efficiency ratio.  The calibration run for a
+    # level rides in the same round slot as the engine run it normalizes.
+    calibrate(8, calib_iter // 8)  # fork/pool warmup
+    calibrate_kernel(8, narrow)  # import + page-cache warmup
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "0") or 0)
+    results: dict[int, dict] = {}
+    calib: dict[int, float] = {}
+    kcalib: dict[int, float] = {}
+    for _ in range(repeats):
+        for cpus in LEVELS:
+            if max_load > 0:
+                load = wait_for_quiet(max_load)
+                print(f"[quiet-gate] load {load:.2f} before local[{cpus}]",
+                      file=sys.stderr, flush=True)
+            r = run_level(cpus, n_docs, corpus, 1)
+            c = calibrate(cpus, calib_iter)
+            calib[cpus] = min(calib.get(cpus, float("inf")), c)
+            k = calibrate_kernel(cpus, narrow)
+            kcalib[cpus] = min(kcalib.get(cpus, float("inf")), k)
+            if cpus not in results:
+                results[cpus] = r
+            else:
+                prev = results[cpus]
+                for kk in ("secs", "compute_secs"):
+                    prev[kk] = min(prev[kk], r[kk])
+                prev["docs_per_sec"] = n_docs / prev["secs"]
+                prev["compute_docs_per_sec"] = n_docs / prev["compute_secs"]
+
+    # Optional minima-merge with a previous quiet-window run: min-of-N is
+    # the same estimator regardless of which session a sample came from,
+    # and the noisy upper-vCPU half needs more samples than one session's
+    # rounds give.  Pass SPARK_GRAFT_MERGE_JSON=BENCH/scaling_last.json to
+    # fold the prior run's per-cell minima in (documented in the md).
+    merged_rounds = repeats
+    merge_path = os.environ.get("SPARK_GRAFT_MERGE_JSON")
+    if merge_path and os.path.exists(merge_path):
+        with open(merge_path) as f:
+            prior = json.load(f)
+        merged_rounds += prior.get("rounds", 0)
+        for c_str, r in prior["levels"].items():
+            c = int(c_str)
+            if c in results:
+                for kk in ("secs", "compute_secs"):
+                    results[c][kk] = min(results[c][kk], r[kk])
+                results[c]["docs_per_sec"] = n_docs / results[c]["secs"]
+                results[c]["compute_docs_per_sec"] = (
+                    n_docs / results[c]["compute_secs"]
+                )
+        for c_str, v in prior.get("calib_secs", {}).items():
+            c = int(c_str)
+            calib[c] = min(calib.get(c, float("inf")), v)
+        for c_str, v in prior.get("kernel_calib_secs", {}).items():
+            c = int(c_str)
+            kcalib[c] = min(kcalib.get(c, float("inf")), v)
+
+    _render(n_docs, merged_rounds, calib_iter, results, calib, kcalib)
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)

@@ -183,3 +183,55 @@ def test_unordered_vec_equals_sequential_walk():
         assert np.array_equal(d1, (s2 // _DOC_STRIDE).astype(np.int64)), trial
         for a, b in zip(sc1, sc2):
             assert np.array_equal(a, b), trial
+
+
+@st.composite
+def multi_phrase_slots(draw):
+    k = draw(st.integers(1, 3))
+    slots = []
+    for _ in range(k):
+        n_alt = draw(st.integers(1, 3))
+        alts = draw(
+            st.lists(
+                st.sampled_from(WORDS),
+                min_size=n_alt,
+                max_size=n_alt,
+                unique=True,
+            )
+        )
+        slots.append(alts[0] if len(alts) == 1 else sorted(alts))
+    return slots
+
+
+@given(
+    st.lists(lattice_doc(), min_size=1, max_size=4),
+    multi_phrase_slots(),
+    st.integers(0, 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_multi_phrase_matches_reference(docs, slots, slop):
+    """Multi-phrase slots through the vectorized searchsorted chain equal
+    the straightforward per-doc forward-only enumeration where each
+    slot's postings are the UNION of its alternatives (the SpanOr-merged
+    iterator Lucene's NearSpansOrdered consumes)."""
+    cfg = LatticeConfig()
+    ids = pd.Series([f"d{i}" for i in range(len(docs))])
+    toks = tokenize_pandas(ids, pd.Series([[d] for d in docs]), cfg)
+    got = match_tokens_pandas(toks, slots, slop, True, "sum", 1.0)
+    got_map = dict(zip(got["doc_id"], got["n_spans"]))
+
+    for doc_id, g in toks.groupby("doc_id"):
+        g = g.sort_values(["abs_pos", "seq"], kind="stable")
+        plists = []
+        ok = True
+        for t in slots:
+            alts = [t] if isinstance(t, str) else t
+            m = g["token"].isin(alts).to_numpy()
+            if not m.any():
+                ok = False
+                break
+            plists.append(
+                (g["abs_pos"].to_numpy()[m], g["score"].to_numpy()[m])
+            )
+        expected = _reference_ordered_enum(plists, slop) if ok else 0
+        assert got_map.get(doc_id, 0) == expected, (doc_id, slots, slop)

@@ -275,3 +275,158 @@ def redact_pii(
         n_email.cast("long").alias("n_emails"),
         n_url.cast("long").alias("n_urls"),
     )
+
+
+def _ngram_positions(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, gpos, h): md5 hash of every word k-gram with its 0-based
+    token position.  Docs shorter than k tokens produce no grams.  One
+    explode + one md5 per gram — all codegen, no UDFs."""
+    toks = _toks(text_col)
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.expr(
+                f"""
+                case when size({toks}) >= {k} then
+                  transform(
+                    sequence(1, size({toks}) - {k - 1}),
+                    i -> concat_ws(' ', slice({toks}, i, {k}))
+                  )
+                else array() end
+                """
+            ).alias("_grams"),
+        )
+        .select("doc_id", F.posexplode("_grams").alias("gpos", "gram"))
+        .select("doc_id", "gpos", F.md5("gram").alias("h"))
+    )
+
+
+def duplicate_ngram_stats(
+    docs: DataFrame,
+    k: int = 8,
+    scope: str = "corpus",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): hash every word k-gram,
+    count occurrences corpus-wide, and report per document how much of it
+    is duplicated text.
+
+    ``scope='corpus'``: a gram is duplicated if it occurs >= 2 times
+    anywhere (including twice in one document — the paper's setting);
+    ``'cross_doc'``: only if it appears in >= 2 distinct documents
+    (boilerplate detection — ignores within-doc repetition).
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_ratio).
+
+    100 TB shape: explode -> hash -> ONE groupBy(h) with map-side partial
+    aggregation (the gram-hash table is corpus-sized: this is a shuffle
+    join back on h, never a broadcast) -> per-doc partial agg.  All
+    codegen; the only wide ops are the two hash exchanges.
+    """
+    if scope not in ("corpus", "cross_doc"):
+        raise ValueError(f"unknown scope {scope!r}")
+    grams = _ngram_positions(docs, k, id_col, text_col)
+    counts = grams.groupBy("h").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    dup_cond = (
+        (F.col("n_occ") >= 2)
+        if scope == "corpus"
+        else (F.col("n_docs") >= 2)
+    )
+    flagged = grams.join(counts, "h").withColumn(
+        "is_dup", dup_cond.cast("long")
+    )
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("is_dup").alias("n_dup_grams"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.col("n_dup_grams") / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
+
+
+def strip_duplicate_ngrams(
+    docs: DataFrame,
+    k: int = 8,
+    scope: str = "corpus",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut duplicated substrings out of each document (the removal step
+    of exact-substring dedup): every token covered by at least one
+    duplicated k-gram occurrence is dropped, and the survivors are
+    re-joined in order.  Documents shorter than k tokens pass through
+    unchanged.
+
+    Returns (doc_id, clean_text, n_tokens, n_kept).
+
+    Plan: the ``duplicate_ngram_stats`` flagging join, then covered
+    positions explode (k rows per duplicated gram), distinct, and an
+    aggregation that rebuilds the text from the kept positions
+    (collect_list -> array_sort by position -> concat_ws).  The rebuild
+    collects one doc's tokens into one aggregation buffer — fine for
+    documents (bounded size), never used across documents."""
+    if scope not in ("corpus", "cross_doc"):
+        raise ValueError(f"unknown scope {scope!r}")
+    grams = _ngram_positions(docs, k, id_col, text_col)
+    counts = grams.groupBy("h").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    dup_cond = (
+        (F.col("n_occ") >= 2)
+        if scope == "corpus"
+        else (F.col("n_docs") >= 2)
+    )
+    covered = (
+        grams.join(counts, "h")
+        .filter(dup_cond)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = _toks(text_col)
+    tokens = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.expr(toks)).alias("pos", "tok"),
+    )
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.expr(toks)).cast("long").alias("n_tokens"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

@@ -2016,6 +2016,105 @@ FROM documents
 """
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """Exact-substring duplication signal (Lee et al. training-data
+    dedup): per-doc fraction of word 8-grams that occur >= 2 times
+    corpus-wide."""
+    from full_lattice_search_spark.functions.text import (
+        duplicate_ngram_stats,
+    )
+
+    stats = duplicate_ngram_stats(_read(spark, sf_dir, "documents"), k=8)
+    return stats.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round("dup_ratio", 6).alias("dup_ratio"),
+    )
+
+
+_DUP_GRAMS_CTE = """
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS gpos,
+         md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+    FROM toks WHERE len(t) >= 8
+  )
+),
+counts AS (
+  SELECT h, count(*) AS n_occ FROM grams GROUP BY h
+)
+"""
+
+SQL_DUP_NGRAMS = f"""
+WITH {_DUP_GRAMS_CTE},
+agg AS (
+  SELECT grams.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN counts.n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams JOIN counts ON counts.h = grams.h
+  GROUP BY grams.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(agg.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       round(CASE WHEN coalesce(agg.n_grams, 0) > 0
+                  THEN CAST(agg.n_dup AS DOUBLE) / agg.n_grams
+                  ELSE 0.0 END, 6) AS dup_ratio
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
+def q_strip_dup_ngrams(spark, sf_dir):
+    """The removal step of exact-substring dedup: drop every token
+    covered by a corpus-duplicated 8-gram, rebuild the text in order."""
+    from full_lattice_search_spark.functions.text import (
+        strip_duplicate_ngrams,
+    )
+
+    return strip_duplicate_ngrams(_read(spark, sf_dir, "documents"), k=8)
+
+
+SQL_STRIP_DUP_NGRAMS = f"""
+WITH {_DUP_GRAMS_CTE},
+covered AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT grams.doc_id,
+           unnest(generate_series(grams.gpos, grams.gpos + 7)) AS pos
+    FROM grams JOIN counts ON counts.h = grams.h
+    WHERE counts.n_occ >= 2
+  )
+),
+tokens AS (
+  SELECT doc_id, t[i] AS tok, i - 1 AS pos
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+  )
+),
+kept AS (
+  SELECT tokens.doc_id, tokens.pos, tokens.tok
+  FROM tokens LEFT JOIN covered
+    ON covered.doc_id = tokens.doc_id AND covered.pos = tokens.pos
+  WHERE covered.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(rebuilt.clean_text, '') AS clean_text,
+       CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(rebuilt.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN rebuilt ON rebuilt.doc_id = d.doc_id
+"""
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition filters over planted degenerate docs
     (every 3rd document's text doubled)."""
@@ -2739,6 +2838,8 @@ QUERIES = {
     "media_wav_features": q_media_wav_features,
     "match_multi_phrase": q_match_multi_phrase,
     "match_lucene_prefix": q_match_lucene_prefix,
+    "dup_ngrams": q_dup_ngrams,
+    "strip_dup_ngrams": q_strip_dup_ngrams,
 }
 
 ORACLES = {
@@ -2805,4 +2906,6 @@ ORACLES = {
     "media_wav_features": SQL_MEDIA_WAV_FEATURES,
     "match_multi_phrase": SQL_MATCH_MULTI_PHRASE,
     "match_lucene_prefix": SQL_MATCH_LUCENE_PREFIX,
+    "dup_ngrams": SQL_DUP_NGRAMS,
+    "strip_dup_ngrams": SQL_STRIP_DUP_NGRAMS,
 }

@@ -523,3 +523,169 @@ def brute_force_topk_arrow(
             "query_id", "vec_id", "cosine", F.col("rn").cast("int").alias("rn")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN memory-compression path
+# ---------------------------------------------------------------------------
+
+
+def _sub_expr(vec_col: str, s: int, dsub: int) -> str:
+    return f"slice({vec_col}, {s * dsub + 1}, {dsub})"
+
+
+def _cvec_lit(cvec: list[float]) -> str:
+    return "array(" + ", ".join(
+        f"cast({float(x)!r} as double)" for x in cvec
+    ) + ")"
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search"): the embedding space is
+    split into ``m`` contiguous subspaces and the DETERMINISTIC
+    ``kmeans_train`` runs on each slice — decimal-sum means, tie-to-
+    lowest assignment, so codebooks are bit-identical under any
+    partitioning (and independently recomputable by the DuckDB oracle).
+
+    Returns ``[subspace][(cluster_id, centroid)]`` sorted by cluster_id
+    — k·dim driver-side floats that become plan-time literals downstream
+    (cluster ids are the seed vector ids, kept as-is: they ARE the
+    codes, no re-indexing).  At 100 TB the codebooks are trained on a
+    SAMPLE (pass ``embeddings.sample(...)``); training cost is
+    ``iterations`` corpus scans per subspace, each a zero-shuffle
+    literal-centroid projection + one k-row groupBy."""
+    dim = int(embeddings.select(F.size(vec_col).alias("d")).head()["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = embeddings.select(
+            F.col(id_col).alias(id_col),
+            F.expr(_sub_expr(vec_col, s, dsub)).alias("embedding"),
+        )
+        cents = kmeans_train(
+            sub, k=k, iterations=iterations, id_col=id_col,
+            vec_col="embedding",
+        )
+        books.append(
+            [
+                (int(r["cluster_id"]), [float(x) for x in r["cvec"]])
+                for r in cents.orderBy("cluster_id").collect()
+            ]
+        )
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<bigint>): per subspace, the cluster_id of the
+    nearest codebook centroid (cosine, ties to the LOWEST cluster_id —
+    the same deterministic rule as ``kmeans_train``'s assignment).
+
+    100 TB shape: the codes are a zero-shuffle projection against
+    plan-time centroid literals (m·k cosine folds per row, all codegen)
+    — the corpus is scanned once and stored as m smallints per vector,
+    a ~(4·dim/m)× memory compression for the ANN scan."""
+    m = len(books)
+    dsub = len(books[0][0][1])
+    code_cols = []
+    for s in range(m):
+        sub = _sub_expr(vec_col, s, dsub)
+        entries = [
+            F.struct(
+                cosine_col(sub, _cvec_lit(cvec)).alias("s"),
+                F.lit(-cid).alias("nc"),
+            )
+            for cid, cvec in books[s]
+        ]
+        best = F.array_max(F.array(*entries))
+        code_cols.append((-best["nc"]).cast("long"))
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.array(*code_cols).alias("codes"),
+    )
+
+
+def ann_pq(
+    embeddings: DataFrame,
+    query: DataFrame,
+    m: int = 4,
+    k_codebook: int = 4,
+    iterations: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k by ESTIMATED dot product:
+    ``dot(q, v) = Σ_s dot(q_s, v_s) ≈ Σ_s dot(q_s, centroid[code_s])``
+    — the subspace decomposition makes the estimate additively exact
+    over the quantized vectors.
+
+    The per-(subspace, code) dot table is computed on the driver
+    (m·k doubles, summed left-to-right so the DuckDB oracle reproduces
+    it bit-exactly) and becomes a plan-time literal map: the ADC scan is
+    a zero-shuffle projection of m ``element_at`` lookups + one top-k —
+    no distance arithmetic per row at all, the PQ property that makes
+    100 TB ANN scans memory- and compute-cheap.  Returns
+    (query_id, vec_id, est_dot, rn)."""
+    from pyspark.sql import Window
+
+    books = pq_train(
+        embeddings, m=m, k=k_codebook, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dsub = len(books[0][0][1])
+    qrow = query.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+    ).head()
+    qid = int(qrow["query_id"])
+    qvec = [float(x) for x in qrow["qvec"]]
+
+    est = None
+    for s in range(m):
+        qsub = qvec[s * dsub:(s + 1) * dsub]
+        entries = []
+        for cid, cvec in books[s]:
+            d = 0.0
+            for x, y in zip(qsub, cvec):  # left-to-right, oracle-exact
+                d += x * y
+            entries += [F.lit(cid), F.lit(d)]
+        lookup = F.element_at(
+            F.create_map(*entries), F.col("codes")[s]
+        )
+        est = lookup if est is None else est + lookup
+
+    encoded = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    scored = (
+        encoded.filter(F.col("vec_id") != F.lit(qid))
+        .select(
+            F.lit(qid).alias("query_id"),
+            "vec_id",
+            F.round(est, 4).alias("est_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("est_dot"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "vec_id", "est_dot",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

@@ -1921,6 +1921,104 @@ FROM m2
 SQL_KMEANS = _sql_kmeans()
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ADC top-k: per-subspace deterministic kmeans
+    codebooks, literal dot-table lookup scan.  The oracle recomputes the
+    ENTIRE pipeline — per-subspace Lloyd training (decimal-sum means),
+    code assignment, and the query-to-centroid dot table — independently
+    in SQL."""
+    from full_lattice_search_spark.operators.similarity import ann_pq
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return ann_pq(emb, query, m=4, k_codebook=4, iterations=2, k=10)
+
+
+def _sql_ann_pq(
+    m: int = 4, k: int = 4, dim: int = 64, topk: int = 10
+) -> str:
+    dsub = dim // m
+    ctes = []
+
+    def assign(cte: str, src: str, cents: str) -> str:
+        cos = _SQL_COS.format(a="e.sv", b="c.cvec")
+        return f"""{cte} AS (
+  SELECT vec_id, sv, cluster_id AS cluster FROM (
+    SELECT e.vec_id, e.sv, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos} DESC, c.cluster_id) AS rn
+    FROM {src} e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def means(cte: str, src: str) -> str:
+        cols = ", ".join(
+            f"CAST(sum(CAST(sv[{j + 1}] AS DECIMAL(28,8))) AS DOUBLE)"
+            f" / count(*) AS c_{j}"
+            for j in range(dsub)
+        )
+        return f"""{cte} AS (
+  SELECT cluster AS cluster_id, {cols} FROM {src} GROUP BY cluster
+)"""
+
+    lst = "list_value(" + ", ".join(f"c_{j}" for j in range(dsub)) + ")"
+    for s in range(m):
+        a, b = s * dsub + 1, (s + 1) * dsub
+        ctes += [
+            f"sub{s} AS (SELECT vec_id, embedding[{a}:{b}] AS sv "
+            f"FROM embeddings)",
+            f"c0_{s} AS (SELECT vec_id AS cluster_id, sv AS cvec "
+            f"FROM sub{s} ORDER BY vec_id LIMIT {k})",
+            assign(f"a1_{s}", f"sub{s}", f"c0_{s}"),
+            means(f"m1_{s}", f"a1_{s}"),
+            f"c1_{s} AS (SELECT cluster_id, {lst} AS cvec FROM m1_{s})",
+            assign(f"a2_{s}", f"sub{s}", f"c1_{s}"),
+            means(f"m2_{s}", f"a2_{s}"),
+            f"c2_{s} AS (SELECT cluster_id, {lst} AS cvec FROM m2_{s})",
+            assign(f"codes_{s}", f"sub{s}", f"c2_{s}"),
+            f"""qdot_{s} AS (
+  SELECT c.cluster_id,
+         list_sum(list_transform(list_zip(q.sv, c.cvec),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot
+  FROM c2_{s} c CROSS JOIN (
+    SELECT embedding[{a}:{b}] AS sv FROM embeddings
+    ORDER BY vec_id LIMIT 1
+  ) q
+)""",
+        ]
+    est_sum = " + ".join(f"qd{s}.dot" for s in range(m))
+    joins = "\n  ".join(
+        f"JOIN codes_{s} ON codes_{s}.vec_id = codes_0.vec_id"
+        for s in range(1, m)
+    )
+    qd_joins = "\n  ".join(
+        f"JOIN qdot_{s} qd{s} ON qd{s}.cluster_id = codes_{s}.cluster"
+        for s in range(m)
+    )
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 1),
+est AS (
+  SELECT codes_0.vec_id, round({est_sum}, 4) AS est_dot
+  FROM codes_0
+  {joins}
+  {qd_joins}
+)
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id, est_dot, CAST(rn AS INT) AS rn
+FROM (
+  SELECT est.*, q.query_id,
+         row_number() OVER (ORDER BY est_dot DESC, vec_id) AS rn
+  FROM est CROSS JOIN q WHERE est.vec_id <> q.query_id
+) t CROSS JOIN q
+WHERE rn <= {topk}
+"""
+
+
+SQL_ANN_PQ = _sql_ann_pq()
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -2840,6 +2938,7 @@ QUERIES = {
     "match_lucene_prefix": q_match_lucene_prefix,
     "dup_ngrams": q_dup_ngrams,
     "strip_dup_ngrams": q_strip_dup_ngrams,
+    "ann_pq": q_ann_pq,
 }
 
 ORACLES = {
@@ -2908,4 +3007,5 @@ ORACLES = {
     "match_lucene_prefix": SQL_MATCH_LUCENE_PREFIX,
     "dup_ngrams": SQL_DUP_NGRAMS,
     "strip_dup_ngrams": SQL_STRIP_DUP_NGRAMS,
+    "ann_pq": SQL_ANN_PQ,
 }

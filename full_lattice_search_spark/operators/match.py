@@ -1467,7 +1467,8 @@ def match_lattice_many(
     percolator-shaped operator: at 10^12 documents, N queries as N jobs
     cost N corpus scans; this costs one.
 
-    ``queries``: (query_id, query_text) pairs sharing ``params``.  The scan
+    ``queries``: (query_id, query) pairs sharing ``params`` — each query
+    a text string or a multi-phrase slot list.  The scan
     filter is ``token IN union(all query terms)`` (still pushed down); one
     shuffle co-locates each doc's candidate rows; the per-batch matcher
     then runs each query's span DP over the already-localized postings
@@ -1490,17 +1491,22 @@ def match_lattice_many(
             "match_lattice_many scores payload-only; compose BM25 per "
             "query downstream (corpus statistics are query-independent)"
         )
-    analyzed: list[tuple[str, list[str], int]] = []
+    analyzed: list[tuple[str, list, int]] = []
     zero_qids: list[str] = []
     union_terms: set[str] = set()
     for qid, qtext in queries:
-        terms = analyze_query(qtext, config)
+        # a list-shaped query is a multi-phrase slot list (same contract
+        # as match_lattice)
+        if isinstance(qtext, str):
+            terms = analyze_query(qtext, config)
+        else:
+            terms = analyze_multi_phrase(qtext, config)
         if not terms:
             zero_qids.append(qid)
             continue
         slop = params.effective_slop(config, len(terms))
         analyzed.append((qid, terms, slop))
-        union_terms.update(terms)
+        union_terms.update(_flat_terms(terms))
     schema = T.StructType(
         [T.StructField("query_id", T.StringType(), False)]
         + list(HITS_SCHEMA.fields)

@@ -1111,6 +1111,42 @@ FROM abs_tokens WHERE token = '{terms[0]}' GROUP BY doc_id"""
 SQL_MATCH_MANY = _sql_match_many()
 
 
+def q_match_many_multi(spark, sf_dir):
+    """Percolator batch with a MULTI-PHRASE standing query in the mix:
+    same one-scan/one-shuffle plan, slot lists flow through the shared
+    span DP."""
+    from full_lattice_search_spark.operators.match import match_lattice_many
+
+    toks = _tokens(spark, sf_dir)
+    hits = match_lattice_many(
+        toks,
+        [
+            ("q_mp", [["hash", "key"], ["merge", "order"]]),
+            ("q_t", "table"),
+        ],
+        LatticeConfig(),
+        MatchLatticeParams(slop=5, include_span_score=False),
+    )
+    return hits.select(
+        "query_id", "doc_id", F.col("n_spans").cast("long").alias("n_spans")
+    )
+
+
+def _sql_match_many_multi() -> str:
+    mp = _sql_match_chain([["hash", "key"], ["merge", "order"]], 5)
+    single = f"""WITH {_ABS_CTE}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM abs_tokens WHERE token = 'table' GROUP BY doc_id"""
+    return (
+        f"SELECT 'q_mp' AS query_id, doc_id, n_spans FROM ({mp})"
+        f" UNION ALL "
+        f"SELECT 'q_t' AS query_id, doc_id, n_spans FROM ({single})"
+    )
+
+
+SQL_MATCH_MANY_MULTI = _sql_match_many_multi()
+
+
 def q_match_zero_terms_all(spark, sf_dir):
     """P5: zero_terms_query='all' — an all-whitespace query matches every
     document with MIN_SCORE (MatchLatticeQueryBuilder zeroTermsQuery)."""
@@ -2939,6 +2975,7 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "strip_dup_ngrams": q_strip_dup_ngrams,
     "ann_pq": q_ann_pq,
+    "match_many_multi": q_match_many_multi,
 }
 
 ORACLES = {
@@ -3008,4 +3045,5 @@ ORACLES = {
     "dup_ngrams": SQL_DUP_NGRAMS,
     "strip_dup_ngrams": SQL_STRIP_DUP_NGRAMS,
     "ann_pq": SQL_ANN_PQ,
+    "match_many_multi": SQL_MATCH_MANY_MULTI,
 }

@@ -655,6 +655,39 @@ def ann_pq(
     qid = int(qrow["query_id"])
     qvec = [float(x) for x in qrow["qvec"]]
 
+    est = _adc_estimate(books, qvec)
+    encoded = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    scored = (
+        encoded.filter(F.col("vec_id") != F.lit(qid))
+        .select(
+            F.lit(qid).alias("query_id"),
+            "vec_id",
+            F.round(est, 4).alias("est_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("est_dot"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "vec_id", "est_dot",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def _adc_estimate(
+    books: list[list[tuple[int, list[float]]]], qvec: list[float]
+):
+    """Plan-time literal ADC dot table over a ``codes`` column: for each
+    subspace, dot(q_sub, centroid) is computed on the driver with a
+    left-to-right float64 sum (the order the DuckDB oracle reproduces)
+    and inlined as a map literal; the per-row estimate is m ``element_at``
+    lookups summed left-to-right."""
+    m = len(books)
+    dsub = len(books[0][0][1])
     est = None
     for s in range(m):
         qsub = qvec[s * dsub:(s + 1) * dsub]
@@ -664,19 +697,78 @@ def ann_pq(
             for x, y in zip(qsub, cvec):  # left-to-right, oracle-exact
                 d += x * y
             entries += [F.lit(cid), F.lit(d)]
-        lookup = F.element_at(
-            F.create_map(*entries), F.col("codes")[s]
-        )
+        lookup = F.element_at(F.create_map(*entries), F.col("codes")[s])
         est = lookup if est is None else est + lookup
+    return est
 
-    encoded = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
-    scored = (
-        encoded.filter(F.col("vec_id") != F.lit(qid))
-        .select(
-            F.lit(qid).alias("query_id"),
-            "vec_id",
-            F.round(est, 4).alias("est_dot"),
-        )
+
+def ann_ivfpq(
+    embeddings: DataFrame,
+    query: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codebook: int = 4,
+    iterations: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production composite for web-scale ANN: a coarse
+    IVF layer prunes the corpus to the query's ``n_probe`` nearest
+    clusters (partition pruning when the assignment is written
+    partitioned by cluster), and the surviving candidates are ranked by
+    the PQ asymmetric-distance estimate (plan-time literal dot table —
+    no per-row float math).  At 10^12 vectors this reads
+    ``n_probe/n_centroids`` of the data and touches only m-byte codes.
+
+    Codebooks are trained on the FULL corpus (the plain-PQ variant; a
+    residual-PQ refinement would subtract the coarse centroid first) —
+    deterministic end-to-end, so the DuckDB oracle recomputes the whole
+    coarse+fine pipeline independently."""
+    from pyspark.sql import Window
+
+    cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    qrow = query.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+    ).head()
+    qid = int(qrow["query_id"])
+    qvec = [float(x) for x in qrow["qvec"]]
+
+    # probe list: the query's n_probe nearest coarse centroids (k-row
+    # crossJoin + window — centroids are tiny by construction)
+    q1 = query.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+    )
+    qs = q1.crossJoin(F.broadcast(cents)).select(
+        "query_id", "cluster_id", cosine_col("qvec", "cvec").alias("sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("cluster_id")
+    )
+    probe_ids = [
+        int(r["cluster_id"])
+        for r in qs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .collect()
+    ]
+
+    books = pq_train(
+        embeddings, m=m, k=k_codebook, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cand = assigned.filter(F.col("cluster").isin(probe_ids)).select(
+        F.col("vec_id").alias(id_col), F.col("vec").alias(vec_col)
+    )
+    encoded = pq_encode(cand, books, id_col=id_col, vec_col=vec_col)
+    est = _adc_estimate(books, qvec)
+    scored = encoded.filter(F.col("vec_id") != F.lit(qid)).select(
+        F.lit(qid).alias("query_id"),
+        "vec_id",
+        F.round(est, 4).alias("est_dot"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("est_dot"), F.asc("vec_id")

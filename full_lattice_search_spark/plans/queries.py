@@ -1971,8 +1971,17 @@ def q_ann_pq(spark, sf_dir):
 
 
 def _sql_ann_pq(
-    m: int = 4, k: int = 4, dim: int = 64, topk: int = 10
+    m: int = 4,
+    k: int = 4,
+    dim: int = 64,
+    topk: int = 10,
+    ivf: bool = False,
+    n_centroids: int = 8,
+    n_probe: int = 2,
 ) -> str:
+    """PQ ADC oracle; with ``ivf=True`` a coarse IVF layer (seed
+    centroids, query probes its n_probe nearest) prunes the candidate
+    set first — the independent recomputation of ``ann_ivfpq``."""
     dsub = dim // m
     ctes = []
 
@@ -2031,13 +2040,44 @@ def _sql_ann_pq(
         f"JOIN qdot_{s} qd{s} ON qd{s}.cluster_id = codes_{s}.cluster"
         for s in range(m)
     )
+    ivf_ctes = ""
+    cand_join = ""
+    if ivf:
+        cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
+        cos_qc = _SQL_COS.format(a="qv.qvec", b="c.cvec")
+        ivf_ctes = f"""
+cents AS (SELECT vec_id AS cluster_id, embedding AS cvec
+          FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+coarse AS (
+  SELECT vec_id, cluster_id AS cluster FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos_ac} DESC, c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qvec
+       FROM embeddings ORDER BY vec_id LIMIT 1),
+probes AS (
+  SELECT cluster_id AS cluster FROM (
+    SELECT c.cluster_id,
+           row_number() OVER (ORDER BY {cos_qc} DESC, c.cluster_id) AS rn
+    FROM qv CROSS JOIN cents c
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT coarse.vec_id FROM coarse JOIN probes
+    ON probes.cluster = coarse.cluster
+),"""
+        cand_join = "JOIN cand ON cand.vec_id = codes_0.vec_id"
     cte_block = ",\n".join(ctes)
     return f"""
-WITH {cte_block},
+WITH {cte_block},{ivf_ctes}
 q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 1),
 est AS (
   SELECT codes_0.vec_id, round({est_sum}, 4) AS est_dot
   FROM codes_0
+  {cand_join}
   {joins}
   {qd_joins}
 )
@@ -2053,6 +2093,21 @@ WHERE rn <= {topk}
 
 
 SQL_ANN_PQ = _sql_ann_pq()
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composite: coarse probe pruning + PQ ADC ranking — the
+    production web-scale ANN shape; the oracle recomputes BOTH layers."""
+    from full_lattice_search_spark.operators.similarity import ann_ivfpq
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return ann_ivfpq(
+        emb, query, n_centroids=8, n_probe=2, m=4, k_codebook=4, k=10
+    )
+
+
+SQL_ANN_IVFPQ = _sql_ann_pq(ivf=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2976,6 +3031,7 @@ QUERIES = {
     "strip_dup_ngrams": q_strip_dup_ngrams,
     "ann_pq": q_ann_pq,
     "match_many_multi": q_match_many_multi,
+    "ann_ivfpq": q_ann_ivfpq,
 }
 
 ORACLES = {
@@ -3046,4 +3102,5 @@ ORACLES = {
     "strip_dup_ngrams": SQL_STRIP_DUP_NGRAMS,
     "ann_pq": SQL_ANN_PQ,
     "match_many_multi": SQL_MATCH_MANY_MULTI,
+    "ann_ivfpq": SQL_ANN_IVFPQ,
 }

@@ -86,3 +86,33 @@ def test_ann_pq_adc_retrieves_same_cluster(spark):
     assert [r["rn"] for r in hits] == list(range(1, 11))
     dots = [r["est_dot"] for r in hits]
     assert dots == sorted(dots, reverse=True)
+
+
+def test_ann_ivfpq_prunes_and_retrieves(spark):
+    """IVF-PQ: results come only from the probed coarse clusters, and on
+    the planted corpus the composite still surfaces same-cluster
+    neighbors (coarse pruning keeps the right region, ADC ranks it)."""
+    from full_lattice_search_spark.operators.similarity import (
+        ann_ivfpq,
+        ivf_assign,
+        seed_centroids,
+    )
+
+    emb_full, cluster_of = _planted(spark)
+    emb = emb_full.select("vec_id", "embedding")
+    query = emb.filter("vec_id = 0")
+    hits = ann_ivfpq(
+        emb, query, n_centroids=4, n_probe=2, m=4, k_codebook=4, k=10
+    ).collect()
+    assert len(hits) == 10
+    # every hit belongs to one of the query's probed coarse clusters
+    cents = seed_centroids(emb, 4)
+    coarse = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, cents).collect()
+    }
+    probe_clusters = {coarse[r["vec_id"]] for r in hits}
+    assert len(probe_clusters) <= 2
+    # recall on the planted corpus: most hits share the query's cluster
+    same = sum(1 for r in hits if cluster_of[r["vec_id"]] == 0)
+    assert same >= 8

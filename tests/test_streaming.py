@@ -101,3 +101,19 @@ def test_streaming_composed_scoring_rejected(spark, tmp_path):
     stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src)
     with pytest.raises(ValueError, match="unbounded stream"):
         match_lattice(stream, "quick", LatticeConfig(), MatchLatticeParams())
+
+
+def test_match_stream_multi_phrase(spark, tmp_path):
+    """A multi-phrase slot-list query flows through the streaming front
+    end unchanged (the batch matcher handles slot lists; the stream is
+    just readStream -> match -> append sink)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    synth_documents(spark, 10, seed=3, mega_every=0).write.parquet(src)
+    q = match_stream(
+        spark, src, [["quick"], ["brick", "brown"]], out, ckpt, slop=2
+    )
+    q.awaitTermination(120)
+    hits = spark.read.parquet(out)
+    assert hits.filter(F.col("doc_id") == "doc-000000000002").count() == 1

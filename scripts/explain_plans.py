@@ -130,6 +130,21 @@ def main() -> None:
             "probes broadcast",
             formatted(QUERIES["ann_ivf"](spark, SF)),
         ),
+        (
+            "ann_pq (product-quantization ADC)",
+            "codes + estimated dot are a zero-shuffle projection: "
+            "literal-centroid cosine folds then m element_at lookups on "
+            "literal maps — no per-row distance arithmetic; only the "
+            "final top-k window exchanges",
+            formatted(QUERIES["ann_pq"](spark, SF)),
+        ),
+        (
+            "dup_ngrams (exact-substring dedup signal)",
+            "explode -> md5 -> partial+final HashAggregate on the gram "
+            "hash -> shuffle join back -> per-doc partial agg; all "
+            "codegen, no HOF interpreters on the hot path",
+            formatted(QUERIES["dup_ngrams"](spark, SF)),
+        ),
     ]
 
     out = ["# PLANS — formatted physical plans of the headline queries\n"]

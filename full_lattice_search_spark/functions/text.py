@@ -366,12 +366,23 @@ def strip_duplicate_ngrams(
     scope: str = "corpus",
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Cut duplicated substrings out of each document (the removal step
     of exact-substring dedup): every token covered by at least one
     duplicated k-gram occurrence is dropped, and the survivors are
     re-joined in order.  Documents shorter than k tokens pass through
     unchanged.
+
+    Removal policy: with the default ``keep_first=False``, EVERY
+    occurrence of a duplicated gram is cut — corpus scope flags all
+    copies, so no canonical copy survives and a fully-boilerplate
+    document comes back with empty ``clean_text``.  That deviates from
+    Lee et al. ("Deduplicating Training Data Makes Language Models
+    Better"), whose ExactSubstr removal keeps one occurrence of each
+    duplicated substring; pass ``keep_first=True`` to exempt the
+    earliest occurrence per gram hash (ordered by (doc_id, position) —
+    deterministic under any partitioning).
 
     Returns (doc_id, clean_text, n_tokens, n_kept).
 
@@ -380,22 +391,30 @@ def strip_duplicate_ngrams(
     aggregation that rebuilds the text from the kept positions
     (collect_list -> array_sort by position -> concat_ws).  The rebuild
     collects one doc's tokens into one aggregation buffer — fine for
-    documents (bounded size), never used across documents."""
+    documents (bounded size), never used across documents.  keep_first
+    adds one min(struct(doc_id, gpos)) to the existing gram-hash
+    aggregation — no extra shuffle."""
     if scope not in ("corpus", "cross_doc"):
         raise ValueError(f"unknown scope {scope!r}")
     grams = _ngram_positions(docs, k, id_col, text_col)
     counts = grams.groupBy("h").agg(
         F.count("*").alias("n_occ"),
         F.countDistinct("doc_id").alias("n_docs"),
+        F.min(F.struct("doc_id", "gpos")).alias("first_occ"),
     )
     dup_cond = (
         (F.col("n_occ") >= 2)
         if scope == "corpus"
         else (F.col("n_docs") >= 2)
     )
+    flagged = grams.join(counts, "h").filter(dup_cond)
+    if keep_first:
+        flagged = flagged.filter(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("gpos") != F.col("first_occ.gpos"))
+        )
     covered = (
-        grams.join(counts, "h")
-        .filter(dup_cond)
+        flagged
         .select(
             "doc_id",
             F.explode(

@@ -397,8 +397,17 @@ def _star_cc(edges: DataFrame, max_iters: int) -> DataFrame:
         )
     # at the fixpoint E is a star forest (child, root); roots + isolated
     # nodes label themselves
+    parents = E.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("gid")
+    )
+    if not converged:
+        # mid-convergence a node may still hold TWO parent edges; the
+        # left join below would fan those out into duplicate doc_id rows
+        # (downstream keep-one-per-component joins would multiply rows) —
+        # collapse to the min parent so the labeling stays one-row-per-doc
+        parents = parents.groupBy("doc_id").agg(F.min("gid").alias("gid"))
     labels = all_nodes.join(
-        E.select(F.col("src").alias("doc_id"), F.col("dst").alias("gid")),
+        parents,
         "doc_id",
         "left",
     ).select(
@@ -438,6 +447,8 @@ def near_dup_groups(
     """
     if algorithm not in ("min_label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(

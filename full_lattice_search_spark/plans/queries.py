@@ -287,11 +287,16 @@ c{j} AS (
     # prefix instead of itself ("blended" statistics over the rewritten
     # SpanOr — mirrors operators/match.py:_lucene_idf_terms)
     fixed = list(dict.fromkeys(terms[:-1] if prefix else terms))
+    # each fixed term contributes ONLY when corpus-present (df > 0) —
+    # mirrors _lucene_idf_terms dropping absent terms (a df=0 term would
+    # otherwise add ln(1+(n+0.5)/0.5) here while the engine adds nothing)
     idf_parts = [
+        f"(CASE WHEN (SELECT count(DISTINCT doc_id) FROM abs_tokens "
+        f"WHERE token = '{t}') > 0 THEN "
         f"ln(1.0 + ((SELECT n_docs FROM corpus) - "
         f"(SELECT count(DISTINCT doc_id) FROM abs_tokens WHERE token = '{t}')"
         f" + 0.5) / ((SELECT count(DISTINCT doc_id) FROM abs_tokens "
-        f"WHERE token = '{t}') + 0.5))"
+        f"WHERE token = '{t}') + 0.5)) ELSE 0.0 END)"
         for t in fixed
     ]
     if prefix:
@@ -2304,6 +2309,63 @@ FROM documents d LEFT JOIN rebuilt ON rebuilt.doc_id = d.doc_id
 """
 
 
+def q_strip_dup_keep_first(spark, sf_dir):
+    """Lee et al.-faithful removal: the EARLIEST occurrence (by
+    (doc_id, position)) of each duplicated 8-gram survives, every other
+    copy is cut — fully-boilerplate docs keep one canonical copy instead
+    of coming back empty."""
+    from full_lattice_search_spark.functions.text import (
+        strip_duplicate_ngrams,
+    )
+
+    return strip_duplicate_ngrams(
+        _read(spark, sf_dir, "documents"), k=8, keep_first=True
+    )
+
+
+SQL_STRIP_DUP_KEEP_FIRST = f"""
+WITH {_DUP_GRAMS_CTE},
+dupocc AS (
+  SELECT grams.doc_id, grams.gpos,
+         row_number() OVER (
+           PARTITION BY grams.h ORDER BY grams.doc_id, grams.gpos
+         ) AS rn
+  FROM grams JOIN counts ON counts.h = grams.h
+  WHERE counts.n_occ >= 2
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id,
+           unnest(generate_series(gpos, gpos + 7)) AS pos
+    FROM dupocc WHERE rn > 1
+  )
+),
+tokens AS (
+  SELECT doc_id, t[i] AS tok, i - 1 AS pos
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+  )
+),
+kept AS (
+  SELECT tokens.doc_id, tokens.pos, tokens.tok
+  FROM tokens LEFT JOIN covered
+    ON covered.doc_id = tokens.doc_id AND covered.pos = tokens.pos
+  WHERE covered.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(rebuilt.clean_text, '') AS clean_text,
+       CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(rebuilt.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN rebuilt ON rebuilt.doc_id = d.doc_id
+"""
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition filters over planted degenerate docs
     (every 3rd document's text doubled)."""
@@ -3029,6 +3091,7 @@ QUERIES = {
     "match_lucene_prefix": q_match_lucene_prefix,
     "dup_ngrams": q_dup_ngrams,
     "strip_dup_ngrams": q_strip_dup_ngrams,
+    "strip_dup_keep_first": q_strip_dup_keep_first,
     "ann_pq": q_ann_pq,
     "match_many_multi": q_match_many_multi,
     "ann_ivfpq": q_ann_ivfpq,
@@ -3100,6 +3163,7 @@ ORACLES = {
     "match_lucene_prefix": SQL_MATCH_LUCENE_PREFIX,
     "dup_ngrams": SQL_DUP_NGRAMS,
     "strip_dup_ngrams": SQL_STRIP_DUP_NGRAMS,
+    "strip_dup_keep_first": SQL_STRIP_DUP_KEEP_FIRST,
     "ann_pq": SQL_ANN_PQ,
     "match_many_multi": SQL_MATCH_MANY_MULTI,
     "ann_ivfpq": SQL_ANN_IVFPQ,

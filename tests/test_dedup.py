@@ -120,3 +120,37 @@ def test_near_dup_groups_unknown_algorithm(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with pytest.raises(ValueError, match="unknown algorithm"):
         near_dup_groups(pairs, algorithm="bfs")
+
+
+def test_near_dup_groups_max_iters_validation(spark):
+    """max_iters < 1 must raise up front — previously min_label's
+    non-convergence warning would NameError on the unbound `changed`."""
+    from full_lattice_search_spark.operators.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    for alg in ("min_label", "star"):
+        with pytest.raises(ValueError, match="max_iters"):
+            near_dup_groups(pairs, max_iters=0, algorithm=alg)
+
+
+def test_star_cc_nonconverged_labels_are_unique(spark):
+    """When the star alternation is cut off mid-convergence a node can
+    hold two parent edges; the labeling must still emit EXACTLY one row
+    per doc_id (downstream keep-one-per-component joins would otherwise
+    fan out)."""
+    import warnings as w
+
+    from full_lattice_search_spark.operators.dedup import near_dup_groups
+
+    # a deep chain plus extra chords — guaranteed not converged in 1 round
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)] + [(0, 59), (5, 40), (10, 55)],
+        "doc_a long, doc_b long",
+    )
+    with w.catch_warnings():
+        w.simplefilter("ignore", RuntimeWarning)
+        rows = near_dup_groups(
+            pairs, max_iters=1, algorithm="star"
+        ).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 61

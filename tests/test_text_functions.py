@@ -116,3 +116,33 @@ def test_strip_duplicate_ngrams(spark):
     # short doc passes through untouched (no grams -> nothing covered)
     assert got[3]["clean_text"] == "short doc"
     assert got[3]["n_kept"] == 2
+
+
+def test_strip_duplicate_ngrams_keep_first(spark):
+    """keep_first=True exempts the earliest occurrence per gram hash
+    (Lee et al. keep-one semantics): the first copy of the shared
+    boilerplate survives, later copies are cut."""
+    from full_lattice_search_spark.functions.text import (
+        strip_duplicate_ngrams,
+    )
+
+    shared = "the quick brown fox jumped over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one"),
+            (2, shared + " other ending here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in strip_duplicate_ngrams(
+            docs, k=8, keep_first=True
+        ).collect()
+    }
+    # doc 1 holds the first occurrence of both duplicated grams -> intact
+    assert got[1]["clean_text"] == shared + " unique tail one"
+    assert got[1]["n_kept"] == 12
+    # doc 2's copies are the later occurrences -> stripped as before
+    assert got[2]["clean_text"] == "other ending here"
+    assert got[2]["n_kept"] == 3

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: media spans as opaque references/bytes with
 typed metadata, decoded/feature-extracted via Arrow-batched pandas UDFs.
 
-The image/audio decode libraries are NOT available in this environment, so
-the decode kernels are STUBBED with a deterministic md5-based fake (clearly
-marked); the Spark-side plumbing — schema, mapInPandas batch shape,
-partitioning — is real and tested.  Swapping ``_fake_decode_features`` for
-a PIL/torchaudio kernel changes nothing outside that function.
+Two media kinds have REAL pure-numpy decode kernels in this repo —
+RIFF/PCM WAV (functions/wav.py) and P6 PPM images (functions/ppm.py) —
+wired in through the decoder registry below; ``media_resize`` likewise
+runs a genuine nearest-neighbor pixel kernel when given a byte fetcher.
+Kinds needing external libraries (JPEG/PNG/MP4 …, not in this container)
+fall back to a deterministic md5-based fake (clearly marked) so the
+Spark-side plumbing — schema, mapInPandas batch shape, partitioning —
+stays real and tested; swapping the stub for a PIL/pyav kernel changes
+nothing outside that function.
 """
 
 from __future__ import annotations
@@ -32,10 +36,25 @@ N_FEATURES = 8
 
 
 def decode_media_bytes(ref: str, payload: bytes | None) -> np.ndarray:
-    """REAL decode goes here (PIL.Image.open / soundfile.read / pyav frame
-    sample).  Not available in this container."""
+    """Decode raw media bytes to the 8-int feature vector.  Formats with
+    pure-numpy parsers in this repo are REAL: RIFF/WAVE (functions/wav.py)
+    and P6 PPM (functions/ppm.py), sniffed by magic.  Everything else
+    (JPEG/PNG/MP4 …) needs PIL/soundfile/pyav, which this container does
+    not ship — those raise instead of silently stubbing."""
+    if payload is not None:
+        if payload[:4] == b"RIFF":
+            from full_lattice_search_spark.functions.wav import (
+                wav_pcm_features,
+            )
+
+            return np.asarray(wav_pcm_features(payload), dtype=np.int64)
+        if payload[:2] == b"P6":
+            from full_lattice_search_spark.functions.ppm import ppm_features
+
+            return np.asarray(ppm_features(payload), dtype=np.int64)
     raise NotImplementedError(
-        "media decode libraries are not installed in this environment"
+        "media decode libraries for this format are not installed in "
+        "this environment (RIFF/WAVE and P6 PPM decode natively)"
     )
 
 
@@ -213,13 +232,19 @@ def media_resize(
     height: int = 16,
     doc_id_col: str = "doc_id",
     spans_col: str = "spans",
+    fetch: Callable[[str], bytes] | None = None,
 ) -> DataFrame:
     """Resize every image span to a thumbnail.
 
-    The pixel kernel (PIL resize) is STUBBED with deterministic bytes
-    derived from md5(ref + 'WxH'); the binary-column plumbing — opaque
-    ``binary`` thumb payload + typed metadata + a DuckDB-checkable integer
-    checksum (sum of the digest's hex-digit values) — is real."""
+    With ``fetch`` given (media_ref → raw image bytes; in production the
+    object-store GET, in tests ``functions/ppm.py:synth_ppm_bytes``), the
+    pixel path is REAL: a P6 PPM parse + genuine nearest-neighbor
+    resampling (``functions/ppm.py:ppm_thumb``), checksum = sum of the
+    thumb's RGB bytes.  Without it the pixel kernel falls back to the
+    deterministic md5 stub (bytes derived from md5(ref + 'WxH')) so the
+    binary-column plumbing — opaque ``binary`` thumb payload + typed
+    metadata + a DuckDB-checkable integer checksum — stays testable where
+    no decodable bytes exist."""
     media = docs.select(
         F.col(doc_id_col).cast("string").alias("doc_id"),
         F.explode(
@@ -229,15 +254,24 @@ def media_resize(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_px = width * height * 3
+        if fetch is not None:
+            from full_lattice_search_spark.functions.ppm import ppm_thumb
         for pdf in batches:
             thumbs, sums = [], []
             for r in pdf["media_ref"]:
-                hx = hashlib.md5(
-                    f"{r}{width}x{height}".encode("utf-8")
-                ).hexdigest()                     # STUB: PIL resize kernel
-                raw = bytes.fromhex(hx)
-                thumbs.append((raw * (n_px // len(raw) + 1))[:n_px])
-                sums.append(sum(int(c, 16) for c in hx))
+                if fetch is not None:
+                    # REAL kernel: parse fetched bytes, nearest-neighbor
+                    # resample with numpy — no image library
+                    t, s = ppm_thumb(fetch(r), width, height)
+                else:
+                    hx = hashlib.md5(
+                        f"{r}{width}x{height}".encode("utf-8")
+                    ).hexdigest()                 # STUB: no bytes to decode
+                    raw = bytes.fromhex(hx)
+                    t = (raw * (n_px // len(raw) + 1))[:n_px]
+                    s = sum(int(c, 16) for c in hx)
+                thumbs.append(t)
+                sums.append(s)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].reset_index(drop=True),

@@ -2590,6 +2590,84 @@ FROM p
 """
 
 
+def q_media_ppm_features(spark, sf_dir):
+    """The NON-STUB image path: a real P6 PPM parse (functions/ppm.py)
+    through the decoder registry with use_stub=False — the engine only
+    matches the oracle by tokenizing the comment-bearing header and
+    decoding the RGB raster, while the oracle predicts the same features
+    in closed form from the synthesized image's md5-digit parameters."""
+    from full_lattice_search_spark.functions.ppm import ppm_feature_decoder
+    from full_lattice_search_spark.operators.multimodal import (
+        register_feature_decoder,
+        unregister_feature_decoder,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct('kind', 'image', 'text', cast(null as string),"
+            " 'media_ref', concat('media://img/', cast(doc_id as string)),"
+            " 'offset', 0))"
+        ).alias("spans"),
+    )
+    register_feature_decoder("image", ppm_feature_decoder)
+    try:
+        feats = media_features(docs, use_stub=False)
+    finally:
+        unregister_feature_decoder("image")
+    names = [
+        "width", "height", "maxval", "n_values",
+        "first_v", "last_v", "max_v", "min_v",
+    ]
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[
+            F.col("features")[j].cast("long").alias(names[j])
+            for j in range(8)
+        ],
+    )
+
+
+_PPM_DIG = (
+    "(strpos('0123456789abcdef', substr(md5('media://img/' || "
+    "CAST(doc_id AS VARCHAR)), {k}, 1)) - 1)"
+)
+
+_PPM_PARAMS_CTE = f"""
+p AS (
+  SELECT doc_id,
+         4 + {_PPM_DIG.format(k=1)} AS w,
+         4 + {_PPM_DIG.format(k=2)} AS h,
+         16 * {_PPM_DIG.format(k=3)} + {_PPM_DIG.format(k=4)} AS base
+  FROM documents
+)
+"""
+
+SQL_MEDIA_PPM_FEATURES = f"""
+WITH {_PPM_PARAMS_CTE},
+vals AS (
+  SELECT p.doc_id, p.w, p.h, p.base,
+         (p.base + 7 * x.i + 13 * y.i + 29 * c.i) % 256 AS v
+  FROM p,
+       LATERAL (SELECT UNNEST(generate_series(0, p.w - 1)) AS i) x,
+       LATERAL (SELECT UNNEST(generate_series(0, p.h - 1)) AS i) y,
+       LATERAL (SELECT UNNEST(generate_series(0, 2)) AS i) c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       CAST(w * h * 3 AS BIGINT) AS n_values,
+       CAST(base % 256 AS BIGINT) AS first_v,
+       CAST((base + 7 * (w - 1) + 13 * (h - 1) + 58) % 256 AS BIGINT)
+         AS last_v,
+       CAST(max(v) AS BIGINT) AS max_v,
+       CAST(min(v) AS BIGINT) AS min_v
+FROM vals
+GROUP BY doc_id, w, h, base
+"""
+
+
 SQL_MEDIA_FEATURES = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
 """ + ",\n".join(
@@ -2676,6 +2754,55 @@ SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
             AS BIGINT) AS checksum
 FROM base b, LATERAL (SELECT UNNEST(generate_series(1, 32)) AS i) g
 GROUP BY b.doc_id
+"""
+
+
+def q_media_resize_real(spark, sf_dir):
+    """Image resize with the REAL pixel path: P6 PPM decode + genuine
+    nearest-neighbor resampling (functions/ppm.py), checksum = sum of the
+    thumb's RGB bytes — the oracle recomputes every resampled pixel in
+    closed form from the md5-digit image parameters, so the engine only
+    matches by actually decoding and resampling what it fetched."""
+    from full_lattice_search_spark.functions.ppm import synth_ppm_bytes
+    from full_lattice_search_spark.operators.multimodal import media_resize
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct('kind', 'image', 'text', cast(null as string),"
+            " 'media_ref', concat('media://img/', cast(doc_id as string)),"
+            " 'offset', 0))"
+        ).alias("spans"),
+    )
+    rs = media_resize(docs, width=16, height=16, fetch=synth_ppm_bytes)
+    return rs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.length("thumb").cast("long").alias("thumb_bytes"),
+        "checksum",
+    )
+
+
+SQL_MEDIA_RESIZE_REAL = f"""
+WITH {_PPM_PARAMS_CTE},
+vals AS (
+  SELECT p.doc_id,
+         (p.base + 7 * ((tx.i * p.w) // 16)
+                 + 13 * ((ty.i * p.h) // 16)
+                 + 29 * c.i) % 256 AS v
+  FROM p,
+       LATERAL (SELECT UNNEST(generate_series(0, 15)) AS i) tx,
+       LATERAL (SELECT UNNEST(generate_series(0, 15)) AS i) ty,
+       LATERAL (SELECT UNNEST(generate_series(0, 2)) AS i) c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(768 AS BIGINT) AS thumb_bytes,
+       CAST(sum(v) AS BIGINT) AS checksum
+FROM vals
+GROUP BY doc_id
 """
 
 
@@ -3087,6 +3214,8 @@ QUERIES = {
     "match_lucene_sim": q_match_lucene_sim,
     "dedup_groups": q_dedup_groups,
     "media_wav_features": q_media_wav_features,
+    "media_ppm_features": q_media_ppm_features,
+    "media_resize_real": q_media_resize_real,
     "match_multi_phrase": q_match_multi_phrase,
     "match_lucene_prefix": q_match_lucene_prefix,
     "dup_ngrams": q_dup_ngrams,
@@ -3159,6 +3288,8 @@ ORACLES = {
     "match_lucene_sim": SQL_MATCH_LUCENE_SIM,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "media_wav_features": SQL_MEDIA_WAV_FEATURES,
+    "media_ppm_features": SQL_MEDIA_PPM_FEATURES,
+    "media_resize_real": SQL_MEDIA_RESIZE_REAL,
     "match_multi_phrase": SQL_MATCH_MULTI_PHRASE,
     "match_lucene_prefix": SQL_MATCH_LUCENE_PREFIX,
     "dup_ngrams": SQL_DUP_NGRAMS,

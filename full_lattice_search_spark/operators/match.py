@@ -948,6 +948,7 @@ def _compose_lucene_tokens(
     boost: float,
     doclen: DataFrame | None = None,
     prefix: bool = False,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """``similarity='lucene'`` for the token-table path: corpus statistics
     (dl, overlap-discounted dl_norm, per-term df) come from the token
@@ -958,7 +959,14 @@ def _compose_lucene_tokens(
     ``doclen``: precomputed (doc_id, dl, dl_norm) statistics table (the
     materialized index writes one).  Required when ``tokens`` is a pruned
     view: per-doc lengths can't be recovered from pruned postings, while
-    per-term df CAN (a term's postings all live in its own bucket)."""
+    per-term df CAN (a term's postings all live in its own bucket).
+
+    ``vocab``: precomputed (token, df) term dictionary (the index writes
+    one at ``{path}_vocab``).  When given, dfs come from it instead of a
+    postings aggregation — required for ``prefix`` over a pruned view
+    (the expansion vocabulary spans buckets the view may not include),
+    and cheaper everywhere (the dictionary is pre-aggregated and
+    token-sorted, so the prefix filter is a parquet range scan)."""
     if doclen is None:
         doclen = tokens.groupBy(
             F.col("doc_id").cast("string").alias("doc_id")
@@ -979,12 +987,15 @@ def _compose_lucene_tokens(
     df_pred = F.col("token").isin(_flat_terms(terms))
     if prefix:
         df_pred = df_pred | F.col("token").startswith(terms[-1])
-    df_rows = (
-        tokens.filter(df_pred)
-        .groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .collect()
-    )
+    if vocab is not None:
+        df_rows = vocab.filter(df_pred).select("token", "df").collect()
+    else:
+        df_rows = (
+            tokens.filter(df_pred)
+            .groupBy("token")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .collect()
+        )
     dfs = {r["token"]: int(r["df"]) for r in df_rows}
     weight, avgdl = _lucene_corpus_consts(
         doclen, dfs, _lucene_idf_terms(terms, dfs, prefix), boost
@@ -1265,6 +1276,7 @@ def match_lattice_tokens(
     explain: bool = False,
     doclen: DataFrame | None = None,
     assume_doc_clustered: bool = False,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Token-table match: ``token IN terms`` filter (pushed down to the
     scan) → shuffle by doc_id → per-doc span DP via ``applyInPandas``.
@@ -1299,12 +1311,14 @@ def match_lattice_tokens(
         params.include_span_score and params.similarity == "lucene"
     )
     if want_lucene:
-        if phrase_prefix and doclen is not None:
+        if phrase_prefix and doclen is not None and vocab is None:
             raise ValueError(
-                "similarity='lucene' with phrase_prefix needs the FULL "
-                "token table to expand the prefix vocabulary; a pruned "
-                "index view (doclen passed) cannot supply the expansion "
-                "set's document frequencies"
+                "similarity='lucene' with phrase_prefix over a pruned "
+                "index view (doclen passed) needs the index's vocabulary "
+                "table to supply the expansion set's document "
+                "frequencies — pass vocab (write_token_index writes it "
+                "at {path}_vocab), or use match_lattice_indexed which "
+                "wires it automatically"
             )
         if doclen is not None and "dl_norm" not in doclen.columns:
             raise ValueError(
@@ -1371,7 +1385,7 @@ def match_lattice_tokens(
     if want_lucene:
         hits = _compose_lucene_tokens(
             hits, tokens, terms, float(params.boost), doclen=doclen,
-            prefix=phrase_prefix,
+            prefix=phrase_prefix, vocab=vocab,
         )
     elif params.include_span_score:
         hits = _compose_score(

@@ -387,6 +387,37 @@ SQL_MATCH_LUCENE_PREFIX = _sql_match_lucene_sim(
 )
 
 
+def q_match_lucene_prefix_indexed(spark, sf_dir):
+    """similarity='lucene' × phrase_prefix THROUGH the pruned token
+    index — the combination that used to raise: expansion buckets and
+    the idf blend's document frequencies come from the index's vocab
+    table, and the result must stay hash-identical to the full-scan
+    oracle."""
+    import tempfile
+
+    from full_lattice_search_spark.plans.lattice_view import lattice_docs
+    from full_lattice_search_spark.sources.token_index import (
+        match_lattice_indexed,
+        write_token_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="fls_lpi_") + "/tokens"
+    write_token_index(lattice_docs(spark, sf_dir), path, LatticeConfig())
+    hits = match_lattice_indexed(
+        spark, path, "hash mer", LatticeConfig(),
+        MatchLatticeParams(
+            slop=5, include_span_score=True, similarity="lucene"
+        ),
+        phrase_prefix=True,
+        dtype=np.float64,
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.round("similarity", 6).alias("similarity"),
+    )
+
+
 def q_tokenize_buckets(spark, sf_dir):
     toks = _tokens(spark, sf_dir, score_buckets=(0.7, 3, 0.4, 2))
     return toks.select(
@@ -3218,6 +3249,7 @@ QUERIES = {
     "media_resize_real": q_media_resize_real,
     "match_multi_phrase": q_match_multi_phrase,
     "match_lucene_prefix": q_match_lucene_prefix,
+    "match_lucene_prefix_indexed": q_match_lucene_prefix_indexed,
     "dup_ngrams": q_dup_ngrams,
     "strip_dup_ngrams": q_strip_dup_ngrams,
     "strip_dup_keep_first": q_strip_dup_keep_first,
@@ -3292,6 +3324,7 @@ ORACLES = {
     "media_resize_real": SQL_MEDIA_RESIZE_REAL,
     "match_multi_phrase": SQL_MATCH_MULTI_PHRASE,
     "match_lucene_prefix": SQL_MATCH_LUCENE_PREFIX,
+    "match_lucene_prefix_indexed": SQL_MATCH_LUCENE_PREFIX,
     "dup_ngrams": SQL_DUP_NGRAMS,
     "strip_dup_ngrams": SQL_STRIP_DUP_NGRAMS,
     "strip_dup_keep_first": SQL_STRIP_DUP_KEEP_FIRST,

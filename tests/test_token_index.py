@@ -139,3 +139,75 @@ def test_bucketed_table_removes_match_exchange(spark, tmp_path):
         assert len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS toks_bucketed")
+
+
+def test_indexed_phrase_prefix_parity_with_scan(spark, index_path):
+    """phrase_prefix over the pruned index: expansion buckets resolved
+    from the vocab table must make the span DP see every prefix-matching
+    token's postings — results equal the full doc-scan path."""
+    docs = synth_documents(spark, 60, seed=13, mega_every=0)
+    params = MatchLatticeParams(slop=3)
+    key = lambda rows: sorted(
+        (r["doc_id"], round(r["score"], 6), r["n_spans"]) for r in rows
+    )
+    direct = key(
+        match_lattice(
+            docs, "the qu", LatticeConfig(), params, phrase_prefix=True
+        ).collect()
+    )
+    indexed = key(
+        match_lattice_indexed(
+            spark, index_path, "the qu", LatticeConfig(), params,
+            n_token_buckets=16, phrase_prefix=True,
+        ).collect()
+    )
+    assert indexed == direct
+    assert len(indexed) > 0
+
+
+def test_indexed_lucene_phrase_prefix_parity_with_scan(spark, index_path):
+    """similarity='lucene' × phrase_prefix over the PRUNED index — the
+    combination that used to raise: the expansion idf blend now reads
+    document frequencies from the vocab table and must equal the full
+    doc-scan path bit-for-bit."""
+    docs = synth_documents(spark, 60, seed=13, mega_every=0)
+    params = MatchLatticeParams(slop=3, similarity="lucene")
+    key = lambda rows: sorted(
+        (r["doc_id"], r["score"], r["n_spans"], r["similarity"])
+        for r in rows
+    )
+    direct = key(
+        match_lattice(
+            docs, "the qu", LatticeConfig(), params, phrase_prefix=True
+        ).collect()
+    )
+    indexed = key(
+        match_lattice_indexed(
+            spark, index_path, "the qu", LatticeConfig(), params,
+            n_token_buckets=16, phrase_prefix=True,
+        ).collect()
+    )
+    assert indexed == direct
+    assert len(indexed) > 0
+
+
+def test_lucene_prefix_pruned_without_vocab_still_raises(spark, index_path):
+    """The guard survives for callers that hand match_lattice_tokens a
+    pruned view + doclen but NO vocab — silently-wrong idf blends must
+    stay impossible."""
+    import pyspark.sql.functions as F
+
+    from full_lattice_search_spark.operators.match import (
+        match_lattice_tokens,
+    )
+
+    tokens = spark.read.parquet(index_path).filter(
+        F.col("token_bucket") == 0
+    )
+    doclen = spark.read.parquet(f"{index_path}_doclen")
+    with pytest.raises(ValueError, match="vocab"):
+        match_lattice_tokens(
+            tokens, "the qu", LatticeConfig(),
+            MatchLatticeParams(slop=3, similarity="lucene"),
+            phrase_prefix=True, doclen=doclen,
+        )

@@ -34,6 +34,20 @@ def cosine_col(a: str, b: str) -> Column:
     return F.expr(f"({dot}) / (({na}) * ({nb}))")
 
 
+def safe_cosine_col(a: str, b: str) -> Column:
+    """Cosine with a zero-vector guard: similarity 0.0 when either norm
+    is zero (ANSI mode turns the bare division into an error).  Needed by
+    residual-PQ, where the coarse seeds' residuals are exactly zero; for
+    nonzero vectors the ELSE branch is bit-identical to ``cosine_col``."""
+    dot = _DOT.format(a=a, b=b)
+    na = _NORM.format(a=a)
+    nb = _NORM.format(a=b)
+    return F.expr(
+        f"CASE WHEN ({na}) * ({nb}) = 0 THEN cast(0.0 as double) "
+        f"ELSE ({dot}) / (({na}) * ({nb})) END"
+    )
+
+
 def sign_bucket_col(vec: str, n_dims: int = 8) -> Column:
     """Deterministic sign-LSH bucket: '1'/'0' per leading dimension.
 
@@ -363,6 +377,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mean_decimals: int = 8,
+    zero_safe: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means for IVF centroid training — the
     engine's iterative-algorithm pattern: a driver-side loop of
@@ -399,6 +414,7 @@ def kmeans_train(
         F.col(vec_col).alias("vec"),
     )
     dec = f"decimal(28,{mean_decimals})"
+    cos = safe_cosine_col if zero_safe else cosine_col
     for _ in range(iterations):
         entries = []
         for cid, cvec in cents:
@@ -407,7 +423,7 @@ def kmeans_train(
             ) + ")"
             entries.append(
                 F.struct(
-                    cosine_col("vec", lit).alias("s"),
+                    cos("vec", lit).alias("s"),
                     F.lit(-cid).alias("nc"),
                 )
             )
@@ -547,6 +563,7 @@ def pq_train(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    zero_safe: bool = False,
 ) -> list[list[tuple[int, list[float]]]]:
     """Product-quantization codebooks (Jégou et al., "Product
     Quantization for Nearest Neighbor Search"): the embedding space is
@@ -572,9 +589,17 @@ def pq_train(
             F.col(id_col).alias(id_col),
             F.expr(_sub_expr(vec_col, s, dsub)).alias("embedding"),
         )
+        if zero_safe:
+            # residual mode: zero subvectors (a coarse seed's residual,
+            # or a slice that happens to vanish) carry no direction —
+            # exclude them from TRAINING (seeds + Lloyd) and use the
+            # zero-guarded cosine; encode still covers every row
+            sub = sub.filter(
+                F.expr(_NORM.format(a="embedding")) > F.lit(0.0)
+            )
         cents = kmeans_train(
             sub, k=k, iterations=iterations, id_col=id_col,
-            vec_col="embedding",
+            vec_col="embedding", zero_safe=zero_safe,
         )
         books.append(
             [
@@ -590,6 +615,7 @@ def pq_encode(
     books: list[list[tuple[int, list[float]]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    zero_safe: bool = False,
 ) -> DataFrame:
     """(vec_id, codes array<bigint>): per subspace, the cluster_id of the
     nearest codebook centroid (cosine, ties to the LOWEST cluster_id —
@@ -601,12 +627,13 @@ def pq_encode(
     a ~(4·dim/m)× memory compression for the ANN scan."""
     m = len(books)
     dsub = len(books[0][0][1])
+    cos = safe_cosine_col if zero_safe else cosine_col
     code_cols = []
     for s in range(m):
         sub = _sub_expr(vec_col, s, dsub)
         entries = [
             F.struct(
-                cosine_col(sub, _cvec_lit(cvec)).alias("s"),
+                cos(sub, _cvec_lit(cvec)).alias("s"),
                 F.lit(-cid).alias("nc"),
             )
             for cid, cvec in books[s]
@@ -679,16 +706,20 @@ def ann_pq(
 
 
 def _adc_estimate(
-    books: list[list[tuple[int, list[float]]]], qvec: list[float]
+    books: list[list[tuple[int, list[float]]]],
+    qvec: list[float],
+    init=None,
 ):
     """Plan-time literal ADC dot table over a ``codes`` column: for each
     subspace, dot(q_sub, centroid) is computed on the driver with a
     left-to-right float64 sum (the order the DuckDB oracle reproduces)
     and inlined as a map literal; the per-row estimate is m ``element_at``
-    lookups summed left-to-right."""
+    lookups summed left-to-right.  ``init``: optional leading term folded
+    FIRST (residual-PQ's coarse dot) — float addition is not associative,
+    so the fold order must match the oracle's left-to-right sum."""
     m = len(books)
     dsub = len(books[0][0][1])
-    est = None
+    est = init
     for s in range(m):
         qsub = qvec[s * dsub:(s + 1) * dsub]
         entries = []
@@ -702,6 +733,80 @@ def _adc_estimate(
     return est
 
 
+def ann_pq_many(
+    encoded: DataFrame,
+    queries: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch-query PQ ADC — the production surface: codebooks are trained
+    ONCE (``pq_train``, possibly on a sample) and the corpus is encoded
+    ONCE (``pq_encode``, persist it or write it out), then each query
+    costs only a literal-dot-table scan over the m-byte codes.  The
+    single-query ``ann_pq`` retrains per call — fine for an oracle,
+    wasteful for serving.
+
+    The query batch is collected driver-side (an ANN query batch is small
+    by construction); each query's top-k is a ``TakeOrderedAndProject``
+    (per-partition top-k, driver merge — NO full sort, no wide shuffle),
+    and the per-query plans share one cached ``encoded`` scan.  Returns
+    (query_id, vec_id, est_dot, rn) for all queries."""
+    from pyspark.sql import Window
+
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query batch")
+    outs = []
+    for r in q_rows:
+        qid = int(r["query_id"])
+        est = _adc_estimate(books, [float(x) for x in r["qvec"]])
+        outs.append(
+            encoded.filter(F.col("vec_id") != F.lit(qid))
+            .select(
+                F.lit(qid).alias("query_id"),
+                "vec_id",
+                F.round(est, 4).alias("est_dot"),
+            )
+            .orderBy(F.desc("est_dot"), F.asc("vec_id"))
+            .limit(k)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    # rn re-derived over the k survivors per query (tiny)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("est_dot"), F.asc("vec_id")
+    )
+    return out.withColumn(
+        "rn", F.row_number().over(w).cast("int")
+    )
+
+
+def _residual_col(
+    vec: F.Column,
+    cluster: F.Column,
+    cents_list: list[tuple[int, list[float]]],
+):
+    """vec − coarse_centroid[cluster], as a chained-CASE of literal
+    zip_with subtractions (k coarse clusters → k branches, all codegen)."""
+    expr = None
+    for cid, cvec in cents_list:
+        sub = F.zip_with(
+            vec, F.expr(_cvec_lit(cvec)), lambda x, y: x - y
+        )
+        expr = (
+            F.when(cluster == F.lit(cid), sub)
+            if expr is None
+            else expr.when(cluster == F.lit(cid), sub)
+        )
+    return expr
+
+
 def ann_ivfpq(
     embeddings: DataFrame,
     query: DataFrame,
@@ -713,6 +818,8 @@ def ann_ivfpq(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[tuple[int, list[float]]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ — the production composite for web-scale ANN: a coarse
     IVF layer prunes the corpus to the query's ``n_probe`` nearest
@@ -722,9 +829,18 @@ def ann_ivfpq(
     no per-row float math).  At 10^12 vectors this reads
     ``n_probe/n_centroids`` of the data and touches only m-byte codes.
 
-    Codebooks are trained on the FULL corpus (the plain-PQ variant; a
-    residual-PQ refinement would subtract the coarse centroid first) —
-    deterministic end-to-end, so the DuckDB oracle recomputes the whole
+    ``books``: pre-trained PQ codebooks (``pq_train``) — pass them to
+    stop this call retraining on the full corpus (the serving shape;
+    see also ``ann_pq_many`` for amortizing the encode).  Ignored with
+    ``residual=True`` (residual codebooks depend on the coarse layer).
+
+    ``residual=True`` is the Jégou et al. refinement: PQ codebooks are
+    trained on (vec − coarse_centroid) so they only need to span one
+    Voronoi cell's spread instead of the whole space — better recall at
+    the same m — and the ADC estimate becomes
+    ``dot(q, c_coarse) + Σ_s dot(q_s, residual_centroid[code_s])``
+    (the coarse term is a per-cluster literal).  Deterministic
+    end-to-end either way, so the DuckDB oracle recomputes the whole
     coarse+fine pipeline independently."""
     from pyspark.sql import Window
 
@@ -756,15 +872,53 @@ def ann_ivfpq(
         .collect()
     ]
 
-    books = pq_train(
-        embeddings, m=m, k=k_codebook, iterations=iterations,
-        id_col=id_col, vec_col=vec_col,
-    )
-    cand = assigned.filter(F.col("cluster").isin(probe_ids)).select(
-        F.col("vec_id").alias(id_col), F.col("vec").alias(vec_col)
-    )
-    encoded = pq_encode(cand, books, id_col=id_col, vec_col=vec_col)
-    est = _adc_estimate(books, qvec)
+    if residual:
+        cents_list = [
+            (int(r["cluster_id"]), [float(x) for x in r["cvec"]])
+            for r in cents.orderBy("cluster_id").collect()
+        ]
+        resid = assigned.select(
+            F.col("vec_id").alias(id_col),
+            "cluster",
+            _residual_col(
+                F.col("vec"), F.col("cluster"), cents_list
+            ).alias(vec_col),
+        )
+        books = pq_train(
+            resid, m=m, k=k_codebook, iterations=iterations,
+            id_col=id_col, vec_col=vec_col, zero_safe=True,
+        )
+        cand = resid.filter(F.col("cluster").isin(probe_ids))
+        encoded = pq_encode(
+            cand, books, id_col=id_col, vec_col=vec_col, zero_safe=True,
+        ).join(
+            cand.select(F.col(id_col).cast("long").alias("vec_id"),
+                        "cluster"),
+            "vec_id",
+        )
+        # coarse term: dot(q, c_cluster) as a plan-time literal map
+        # (left-to-right float64 — the order the oracle reproduces)
+        entries = []
+        for cid, cvec in cents_list:
+            d = 0.0
+            for x, y in zip(qvec, cvec):
+                d += x * y
+            entries += [F.lit(cid), F.lit(d)]
+        coarse_dot = F.element_at(
+            F.create_map(*entries), F.col("cluster")
+        )
+        est = _adc_estimate(books, qvec, init=coarse_dot)
+    else:
+        if books is None:
+            books = pq_train(
+                embeddings, m=m, k=k_codebook, iterations=iterations,
+                id_col=id_col, vec_col=vec_col,
+            )
+        cand = assigned.filter(F.col("cluster").isin(probe_ids)).select(
+            F.col("vec_id").alias(id_col), F.col("vec").alias(vec_col)
+        )
+        encoded = pq_encode(cand, books, id_col=id_col, vec_col=vec_col)
+        est = _adc_estimate(books, qvec)
     scored = encoded.filter(F.col("vec_id") != F.lit(qid)).select(
         F.lit(qid).alias("query_id"),
         "vec_id",

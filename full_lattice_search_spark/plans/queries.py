@@ -2014,15 +2014,35 @@ def _sql_ann_pq(
     ivf: bool = False,
     n_centroids: int = 8,
     n_probe: int = 2,
+    nq: int = 1,
+    residual: bool = False,
 ) -> str:
     """PQ ADC oracle; with ``ivf=True`` a coarse IVF layer (seed
     centroids, query probes its n_probe nearest) prunes the candidate
-    set first — the independent recomputation of ``ann_ivfpq``."""
+    set first — the independent recomputation of ``ann_ivfpq``.
+    ``nq``: query batch size (the first nq vec_ids — mirrors
+    ``ann_pq_many``); per-query top-k.  ``residual=True`` (implies ivf,
+    nq=1): PQ codebooks train on (vec − coarse centroid) and the
+    estimate adds the per-cluster coarse dot FIRST (left-to-right sum
+    order — float addition is not associative)."""
+    if residual and (not ivf or nq != 1):
+        raise ValueError("residual oracle needs ivf=True, nq=1")
     dsub = dim // m
     ctes = []
 
-    def assign(cte: str, src: str, cents: str) -> str:
+    def assign(cte: str, src: str, cents: str, safe: bool = False) -> str:
         cos = _SQL_COS.format(a="e.sv", b="c.cvec")
+        if safe:
+            # zero-vector guard mirroring the engine's safe_cosine_col
+            norm = (
+                "sqrt(list_sum(list_transform({a}, "
+                "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+            )
+            cos = (
+                f"CASE WHEN ({norm.format(a='e.sv')}) * "
+                f"({norm.format(a='c.cvec')}) = 0 THEN 0.0 "
+                f"ELSE {cos} END"
+            )
         return f"""{cte} AS (
   SELECT vec_id, sv, cluster_id AS cluster FROM (
     SELECT e.vec_id, e.sv, c.cluster_id,
@@ -2042,49 +2062,35 @@ def _sql_ann_pq(
   SELECT cluster AS cluster_id, {cols} FROM {src} GROUP BY cluster
 )"""
 
-    lst = "list_value(" + ", ".join(f"c_{j}" for j in range(dsub)) + ")"
-    for s in range(m):
-        a, b = s * dsub + 1, (s + 1) * dsub
-        ctes += [
-            f"sub{s} AS (SELECT vec_id, embedding[{a}:{b}] AS sv "
-            f"FROM embeddings)",
-            f"c0_{s} AS (SELECT vec_id AS cluster_id, sv AS cvec "
-            f"FROM sub{s} ORDER BY vec_id LIMIT {k})",
-            assign(f"a1_{s}", f"sub{s}", f"c0_{s}"),
-            means(f"m1_{s}", f"a1_{s}"),
-            f"c1_{s} AS (SELECT cluster_id, {lst} AS cvec FROM m1_{s})",
-            assign(f"a2_{s}", f"sub{s}", f"c1_{s}"),
-            means(f"m2_{s}", f"a2_{s}"),
-            f"c2_{s} AS (SELECT cluster_id, {lst} AS cvec FROM m2_{s})",
-            assign(f"codes_{s}", f"sub{s}", f"c2_{s}"),
-            f"""qdot_{s} AS (
-  SELECT c.cluster_id,
-         list_sum(list_transform(list_zip(q.sv, c.cvec),
-           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot
-  FROM c2_{s} c CROSS JOIN (
-    SELECT embedding[{a}:{b}] AS sv FROM embeddings
-    ORDER BY vec_id LIMIT 1
-  ) q
-)""",
-        ]
-    est_sum = " + ".join(f"qd{s}.dot" for s in range(m))
-    joins = "\n  ".join(
-        f"JOIN codes_{s} ON codes_{s}.vec_id = codes_0.vec_id"
-        for s in range(1, m)
-    )
-    qd_joins = "\n  ".join(
-        f"JOIN qdot_{s} qd{s} ON qd{s}.cluster_id = codes_{s}.cluster"
-        for s in range(m)
-    )
     ivf_ctes = ""
     cand_join = ""
     if ivf:
         cos_ac = _SQL_COS.format(a="e.embedding", b="c.cvec")
         cos_qc = _SQL_COS.format(a="qv.qvec", b="c.cvec")
+        resid_cte = ""
+        if residual:
+            # MATERIALIZED: resid feeds every subspace's training chain —
+            # inlined, the coarse window would be re-planned ~4m times and
+            # DuckDB's optimizer blows up
+            resid_cte = """
+resid AS MATERIALIZED (
+  SELECT e.vec_id, coarse.cluster,
+         list_transform(list_zip(e.embedding, c.cvec),
+           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rv
+  FROM embeddings e
+  JOIN coarse ON coarse.vec_id = e.vec_id
+  JOIN cents c ON c.cluster_id = coarse.cluster
+),
+cdot AS (
+  SELECT c.cluster_id,
+         list_sum(list_transform(list_zip(qv.qvec, c.cvec),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot
+  FROM cents c CROSS JOIN qv
+),"""
         ivf_ctes = f"""
-cents AS (SELECT vec_id AS cluster_id, embedding AS cvec
+cents AS MATERIALIZED (SELECT vec_id AS cluster_id, embedding AS cvec
           FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
-coarse AS (
+coarse AS MATERIALIZED (
   SELECT vec_id, cluster_id AS cluster FROM (
     SELECT e.vec_id, c.cluster_id,
            row_number() OVER (PARTITION BY e.vec_id
@@ -2104,26 +2110,108 @@ probes AS (
 cand AS (
   SELECT coarse.vec_id FROM coarse JOIN probes
     ON probes.cluster = coarse.cluster
-),"""
+),{resid_cte}"""
         cand_join = "JOIN cand ON cand.vec_id = codes_0.vec_id"
-    cte_block = ",\n".join(ctes)
+
+    # subspace source: raw embeddings, or coarse residuals
+    sub_src = (
+        f"rv[{{a}}:{{b}}] AS sv FROM resid"
+        if residual
+        else f"embedding[{{a}}:{{b}}] AS sv FROM embeddings"
+    )
+    lst = "list_value(" + ", ".join(f"c_{j}" for j in range(dsub)) + ")"
+    for s in range(m):
+        a, b = s * dsub + 1, (s + 1) * dsub
+        # MATERIALIZED throughout: each subspace chain re-references its
+        # predecessors several times; inlined, DuckDB re-plans the nested
+        # window/join trees combinatorially (observed: 127 s for the IVF
+        # variant at sf0.001 vs ~2 s materialized)
+        ctes += [
+            f"sub{s} AS MATERIALIZED (SELECT vec_id, "
+            + sub_src.format(a=a, b=b)
+            + ")",
+        ]
+        train = f"sub{s}"
+        if residual:
+            # zero subvectors carry no direction: excluded from training
+            # (seeds + Lloyd), still encoded below — engine mirror:
+            # pq_train(zero_safe=True)
+            ctes += [
+                f"train{s} AS (SELECT * FROM sub{s} WHERE "
+                f"list_sum(list_transform(sv, "
+                f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0)",
+            ]
+            train = f"train{s}"
+        ctes += [
+            f"c0_{s} AS (SELECT vec_id AS cluster_id, sv AS cvec "
+            f"FROM {train} ORDER BY vec_id LIMIT {k})",
+            assign(f"a1_{s}", train, f"c0_{s}"),
+            means(f"m1_{s}", f"a1_{s}"),
+            f"c1_{s} AS (SELECT cluster_id, {lst} AS cvec FROM m1_{s})",
+            assign(f"a2_{s}", train, f"c1_{s}"),
+            means(f"m2_{s}", f"a2_{s}"),
+            f"c2_{s} AS MATERIALIZED "
+            f"(SELECT cluster_id, {lst} AS cvec FROM m2_{s})",
+            assign(
+                f"codes_{s}", f"sub{s}", f"c2_{s}", safe=residual
+            ).replace(f"codes_{s} AS (", f"codes_{s} AS MATERIALIZED (", 1),
+            f"""qdot_{s} AS (
+  SELECT q.query_id, c.cluster_id,
+         list_sum(list_transform(list_zip(q.sv, c.cvec),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot
+  FROM c2_{s} c CROSS JOIN (
+    SELECT vec_id AS query_id, embedding[{a}:{b}] AS sv FROM embeddings
+    ORDER BY vec_id LIMIT {nq}
+  ) q
+)""",
+        ]
+    terms = [f"qd{s}.dot" for s in range(m)]
+    if residual:
+        terms = ["cdot.dot"] + terms
+    est_sum = " + ".join(terms)
+    joins = "\n  ".join(
+        f"JOIN codes_{s} ON codes_{s}.vec_id = codes_0.vec_id"
+        for s in range(1, m)
+    )
+    qd_joins = "\n  ".join(
+        f"JOIN qdot_{s} qd{s} ON qd{s}.cluster_id = codes_{s}.cluster"
+        f" AND qd{s}.query_id = q.query_id"
+        for s in range(m)
+    )
+    resid_join = ""
+    if residual:
+        resid_join = (
+            "JOIN coarse rc ON rc.vec_id = codes_0.vec_id\n  "
+            "JOIN cdot ON cdot.cluster_id = rc.cluster"
+        )
+    if residual:
+        cte_block = ivf_ctes.rstrip(",").strip() + ",\n" + ",\n".join(ctes)
+        ivf_tail = ""
+    else:
+        cte_block = ",\n".join(ctes)
+        ivf_tail = ivf_ctes
     return f"""
-WITH {cte_block},{ivf_ctes}
-q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 1),
+WITH {cte_block},{ivf_tail}
+q AS (SELECT vec_id AS query_id FROM embeddings
+      ORDER BY vec_id LIMIT {nq}),
 est AS (
-  SELECT codes_0.vec_id, round({est_sum}, 4) AS est_dot
+  SELECT q.query_id, codes_0.vec_id, round({est_sum}, 4) AS est_dot
   FROM codes_0
+  CROSS JOIN q
   {cand_join}
   {joins}
+  {resid_join}
   {qd_joins}
+  WHERE codes_0.vec_id <> q.query_id
 )
-SELECT CAST(q.query_id AS BIGINT) AS query_id,
+SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(vec_id AS BIGINT) AS vec_id, est_dot, CAST(rn AS INT) AS rn
 FROM (
-  SELECT est.*, q.query_id,
-         row_number() OVER (ORDER BY est_dot DESC, vec_id) AS rn
-  FROM est CROSS JOIN q WHERE est.vec_id <> q.query_id
-) t CROSS JOIN q
+  SELECT est.*,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY est_dot DESC, vec_id) AS rn
+  FROM est
+) t
 WHERE rn <= {topk}
 """
 
@@ -2144,6 +2232,47 @@ def q_ann_ivfpq(spark, sf_dir):
 
 
 SQL_ANN_IVFPQ = _sql_ann_pq(ivf=True)
+
+
+def q_ann_pq_many(spark, sf_dir):
+    """Batch-query PQ serving surface: codebooks trained once, corpus
+    encoded once, then THREE queries answered by literal ADC scans over
+    the shared encoded frame (per-query TakeOrderedAndProject — no wide
+    shuffle).  The oracle recomputes training + encoding + all three dot
+    tables independently."""
+    from full_lattice_search_spark.operators.similarity import (
+        ann_pq_many,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(3)
+    books = pq_train(emb, m=4, k=4, iterations=2)
+    encoded = pq_encode(emb, books)
+    return ann_pq_many(encoded, queries, books, k=5)
+
+
+SQL_ANN_PQ_MANY = _sql_ann_pq(nq=3, topk=5)
+
+
+def q_ann_ivfpq_residual(spark, sf_dir):
+    """Residual IVF-PQ (Jégou et al. refinement): PQ codebooks train on
+    (vec − coarse centroid), the ADC estimate adds the per-cluster
+    coarse dot first.  The oracle recomputes coarse assignment,
+    residuals, per-subspace Lloyd on residuals, codes, and both dot
+    terms entirely in SQL."""
+    from full_lattice_search_spark.operators.similarity import ann_ivfpq
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return ann_ivfpq(
+        emb, query, n_centroids=8, n_probe=2, m=4, k_codebook=4, k=10,
+        residual=True,
+    )
+
+
+SQL_ANN_IVFPQ_RESIDUAL = _sql_ann_pq(ivf=True, residual=True)
 
 
 # ---------------------------------------------------------------------------
@@ -3256,6 +3385,8 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     "match_many_multi": q_match_many_multi,
     "ann_ivfpq": q_ann_ivfpq,
+    "ann_pq_many": q_ann_pq_many,
+    "ann_ivfpq_residual": q_ann_ivfpq_residual,
 }
 
 ORACLES = {
@@ -3331,4 +3462,6 @@ ORACLES = {
     "ann_pq": SQL_ANN_PQ,
     "match_many_multi": SQL_MATCH_MANY_MULTI,
     "ann_ivfpq": SQL_ANN_IVFPQ,
+    "ann_pq_many": SQL_ANN_PQ_MANY,
+    "ann_ivfpq_residual": SQL_ANN_IVFPQ_RESIDUAL,
 }

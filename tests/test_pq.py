@@ -116,3 +116,91 @@ def test_ann_ivfpq_prunes_and_retrieves(spark):
     # recall on the planted corpus: most hits share the query's cluster
     same = sum(1 for r in hits if cluster_of[r["vec_id"]] == 0)
     assert same >= 8
+
+
+def test_ann_pq_many_matches_single_and_plans_topk(spark):
+    """Batch surface: pre-trained books + pre-encoded corpus answer a
+    3-query batch; the first query's top-k must equal single-query
+    ann_pq (which retrains identically — determinism contract), and each
+    per-query branch must plan as TakeOrderedAndProject (partial top-k +
+    merge, no full sort)."""
+    from full_lattice_search_spark.operators.similarity import (
+        ann_pq,
+        ann_pq_many,
+        pq_encode,
+        pq_train,
+    )
+
+    emb, _ = _planted(spark)
+    books = pq_train(emb, m=4, k=4, iterations=2)
+    encoded = pq_encode(emb, books)
+    queries = emb.orderBy("vec_id").limit(3)
+    batch = ann_pq_many(encoded, queries, books, k=5)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    got = {
+        (r["query_id"], r["vec_id"], r["est_dot"], r["rn"])
+        for r in batch.collect()
+    }
+    assert len({q for q, *_ in got}) == 3
+    single = {
+        (r["query_id"], r["vec_id"], r["est_dot"], r["rn"])
+        for r in ann_pq(
+            emb, emb.orderBy("vec_id").limit(1), m=4, k_codebook=4,
+            iterations=2, k=5,
+        ).collect()
+    }
+    assert {t for t in got if t[0] == 0} == single
+    with pytest.raises(ValueError, match="empty query batch"):
+        ann_pq_many(encoded, queries.limit(0), books, k=5)
+
+
+def test_ann_ivfpq_residual_beats_or_ties_plain_recall(spark):
+    """Residual codebooks only need to span one Voronoi cell — on the
+    planted-cluster corpus recall@5 vs exact brute force must not be
+    WORSE than plain IVF-PQ, and the zero-residual seeds must not crash
+    (the divide-by-zero regression this mode shipped with)."""
+    from full_lattice_search_spark.operators.similarity import (
+        ann_ivfpq,
+        brute_force_topk,
+    )
+
+    emb, _ = _planted(spark)
+    query = emb.orderBy("vec_id").limit(1)
+    exact = {
+        r["vec_id"] for r in brute_force_topk(emb, query, k=5).collect()
+    }
+
+    def recall(residual):
+        got = {
+            r["vec_id"]
+            for r in ann_ivfpq(
+                emb, query, n_centroids=4, n_probe=2, m=4, k_codebook=4,
+                k=5, residual=residual,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    assert recall(True) >= recall(False) - 1e-9
+
+
+def test_ann_ivfpq_accepts_pretrained_books(spark):
+    """Passing pre-trained codebooks must skip retraining and give the
+    same answer as the train-inside call (training is deterministic)."""
+    from full_lattice_search_spark.operators.similarity import (
+        ann_ivfpq,
+        pq_train,
+    )
+
+    emb, _ = _planted(spark)
+    query = emb.orderBy("vec_id").limit(1)
+    books = pq_train(emb, m=4, k=4, iterations=2)
+    key = lambda df: sorted(
+        (r["query_id"], r["vec_id"], r["est_dot"], r["rn"])
+        for r in df.collect()
+    )
+    a = key(ann_ivfpq(emb, query, n_centroids=4, n_probe=2, m=4,
+                      k_codebook=4, k=5))
+    b = key(ann_ivfpq(emb, query, n_centroids=4, n_probe=2, m=4,
+                      k_codebook=4, k=5, books=books))
+    assert a == b

@@ -13,9 +13,12 @@ Per input span, in source-``offset`` order:
   nav/header/footer/aside drop, tag strip, entity unescape, whitespace
   collapse (north_rule: "HTML boilerplate strip ... DOM heuristics").
 - **plain text** → whitespace normalization.
-- **pdf** → layout parse of ``page|y|x|content`` lines sorted by (page, y,
-  x); real PDF byte decode is STUBBED (no PDF libs in this environment) —
-  a span marked ``kind='pdf'`` whose text is not layout-lines raises
+- **pdf** → two REAL paths: raw UNCOMPRESSED PDF bytes (``%PDF-``
+  prefix) are decoded by the zero-dependency interpreter in
+  ``functions/pdf.py`` (object walk, Tm/Td tracking, Tj/TJ shows) into
+  reading order; pre-extracted ``page|y|x|content`` layout lines are
+  sorted by (page, y, x).  A pdf span that is neither (e.g. a
+  COMPRESSED pdf — no decompression libs in this environment) raises
   ``NotImplementedError`` under ``strict=True`` and passes through
   normalized otherwise.
 - **media** (image/audio/...) → passthrough with ``media_ref``.
@@ -159,10 +162,46 @@ def _lattice_best_path_arrays(
 
 
 def _pdf_layout_parse(texts: pd.Series, strict: bool) -> pd.Series:
-    """Layout sort of ``page|y|x|content`` lines.  Real PDF byte decoding is
-    intentionally stubbed — see module docstring."""
+    """PDF span extraction, two REAL paths:
+
+    - raw uncompressed PDF bytes (``%PDF-`` prefix, latin-1-carried in
+      the string column): parsed by the zero-dependency interpreter in
+      ``functions/pdf.py`` (object walk, stream extraction, Tm/Td text
+      positioning, Tj/TJ shows) and emitted in reading order
+      (page, y desc, x asc);
+    - pre-extracted ``page|y|x|content`` layout lines: sorted the same
+      way a layout engine would.
+
+    Anything else raises under ``strict=True`` (e.g. a COMPRESSED pdf —
+    no decompression libs here) and passes through normalized otherwise.
+    """
     if len(texts) == 0:
         return texts
+
+    is_raw = texts.str.startswith("%PDF-")
+    if is_raw.any():
+        from full_lattice_search_spark.functions.pdf import pdf_layout_text
+
+        def _decode(t: str):
+            try:
+                return pdf_layout_text(t.encode("latin-1"))
+            except Exception:
+                if strict:
+                    raise  # malformed/compressed pdf must be LOUD
+                return None  # lax: fall back to normalized passthrough
+
+        parsed = texts[is_raw].map(_decode)
+        fell = parsed.isna()
+        if fell.any():
+            parsed[fell] = _normalize_ws(texts[is_raw][fell])
+        rest = (
+            _pdf_layout_parse(texts[~is_raw], strict)
+            if (~is_raw).any()
+            else texts[~is_raw]
+        )
+        return _normalize_ws(
+            pd.concat([parsed, rest]).reindex(texts.index)
+        )
 
     lines = pd.DataFrame({"span": texts.index, "line": texts.str.split("\n")})
     lines = lines.explode("line", ignore_index=True)

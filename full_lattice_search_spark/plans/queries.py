@@ -1292,6 +1292,70 @@ FROM documents
 """
 
 
+def q_pdf_extract(spark, sf_dir):
+    """REAL uncompressed-PDF decode through the extraction pipeline
+    (strict=True): each doc's first 12 tokens are laid out in a
+    synthesized multi-page PDF (Tm/Td positioning, Tj/TJ shows, correct
+    xref) and the engine must recover the reading order by actually
+    interpreting the content streams; the oracle predicts the order in
+    closed form from the synthesizer's coordinate functions."""
+    import pandas as pd
+
+    from full_lattice_search_spark.functions.pdf import synth_pdf_bytes
+    from full_lattice_search_spark.operators.extract import extract_spans
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "slice(filter(split(lower(text), ' '), x -> x != ''), 1, 12)"
+        ).alias("toks"),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                synth_pdf_bytes(list(t)).decode("latin-1")
+                for t in pdf["toks"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pdf": payloads}
+            )
+
+    raw = docs.mapInPandas(synth, "doc_id string, pdf string")
+    spans = raw.select(
+        "doc_id",
+        F.expr(
+            "array(named_struct('kind', 'pdf', 'text', pdf, "
+            "'media_ref', cast(null as string), 'offset', 0))"
+        ).alias("spans"),
+    )
+    out = extract_spans(spans, LatticeConfig(), strict=True)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("spans[0].text").alias("content"),
+    )
+
+
+# reading order of the synthesized layout: page = 1 + i//8 ascending,
+# y = 700 - 20*((3i) mod 4) DESCENDING (so ascending (3i) mod 4),
+# x = 50 + 10i ascending — mirrors functions/pdf.py:_coords
+SQL_PDF_EXTRACT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(tok, ' ' ORDER BY page, yr, i) AS content
+FROM (
+  SELECT doc_id, t[i + 1] AS tok, (3 * i) % 4 AS yr,
+         1 + i // 8 AS page, i
+  FROM (
+    SELECT doc_id,
+           list_slice(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> ''), 1, 12) AS t
+    FROM documents
+  ), LATERAL (SELECT unnest(generate_series(0, len(t) - 1)) AS i) s
+)
+GROUP BY doc_id
+"""
+
+
 def q_match_phrase_prefix(spark, sf_dir):
     toks = _tokens(spark, sf_dir)
     hits = match_lattice_tokens(
@@ -2016,38 +2080,58 @@ def _sql_ann_pq(
     n_probe: int = 2,
     nq: int = 1,
     residual: bool = False,
+    metric: str = "cosine",
+    rerank: int = 0,
 ) -> str:
     """PQ ADC oracle; with ``ivf=True`` a coarse IVF layer (seed
     centroids, query probes its n_probe nearest) prunes the candidate
     set first — the independent recomputation of ``ann_ivfpq``.
     ``nq``: query batch size (the first nq vec_ids — mirrors
     ``ann_pq_many``); per-query top-k.  ``residual=True`` (implies ivf,
-    nq=1): PQ codebooks train on (vec − coarse centroid) and the
-    estimate adds the per-cluster coarse dot FIRST (left-to-right sum
-    order — float addition is not associative)."""
+    nq=1): PQ codebooks train on (vec − coarse centroid) with metric
+    'l2' and the estimate adds the per-cluster coarse dot FIRST
+    (left-to-right sum order — float addition is not associative).
+    ``metric='l2'``: codeword assignment by 2·v·c − ||c||² (argmin L2).
+    ``rerank=N``: keep an N-deep ADC shortlist per query, then re-rank
+    by EXACT cosine against raw embeddings (``ann_pq_rerank``)."""
     if residual and (not ivf or nq != 1):
         raise ValueError("residual oracle needs ivf=True, nq=1")
+    if residual:
+        metric = "l2"
     dsub = dim // m
     ctes = []
 
     def assign(cte: str, src: str, cents: str, safe: bool = False) -> str:
-        cos = _SQL_COS.format(a="e.sv", b="c.cvec")
-        if safe:
-            # zero-vector guard mirroring the engine's safe_cosine_col
-            norm = (
-                "sqrt(list_sum(list_transform({a}, "
-                "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        if metric == "l2":
+            # argmin ||v-c||^2 == argmax 2 v·c − ||c||² — mirrors the
+            # engine's l2_score_col (||c||² folded left-to-right)
+            dot = (
+                "list_sum(list_transform(list_zip(e.sv, c.cvec), "
+                "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
             )
-            cos = (
-                f"CASE WHEN ({norm.format(a='e.sv')}) * "
-                f"({norm.format(a='c.cvec')}) = 0 THEN 0.0 "
-                f"ELSE {cos} END"
+            csq = (
+                "list_sum(list_transform(c.cvec, "
+                "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
             )
+            score = f"2.0 * ({dot}) - ({csq})"
+        else:
+            score = _SQL_COS.format(a="e.sv", b="c.cvec")
+            if safe:
+                # zero-vector guard mirroring the engine's safe_cosine_col
+                norm = (
+                    "sqrt(list_sum(list_transform({a}, "
+                    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+                )
+                score = (
+                    f"CASE WHEN ({norm.format(a='e.sv')}) * "
+                    f"({norm.format(a='c.cvec')}) = 0 THEN 0.0 "
+                    f"ELSE {score} END"
+                )
         return f"""{cte} AS (
   SELECT vec_id, sv, cluster_id AS cluster FROM (
     SELECT e.vec_id, e.sv, c.cluster_id,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {cos} DESC, c.cluster_id) AS rn
+             ORDER BY {score} DESC, c.cluster_id) AS rn
     FROM {src} e CROSS JOIN {cents} c
   ) WHERE rn = 1
 )"""
@@ -2190,7 +2274,7 @@ cand AS (
     else:
         cte_block = ",\n".join(ctes)
         ivf_tail = ivf_ctes
-    return f"""
+    head = f"""
 WITH {cte_block},{ivf_tail}
 q AS (SELECT vec_id AS query_id FROM embeddings
       ORDER BY vec_id LIMIT {nq}),
@@ -2203,7 +2287,9 @@ est AS (
   {resid_join}
   {qd_joins}
   WHERE codes_0.vec_id <> q.query_id
-)
+)"""
+    if not rerank:
+        return f"""{head}
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(vec_id AS BIGINT) AS vec_id, est_dot, CAST(rn AS INT) AS rn
 FROM (
@@ -2211,6 +2297,32 @@ FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY est_dot DESC, vec_id) AS rn
   FROM est
+) t
+WHERE rn <= {topk}
+"""
+    cos_exact = _SQL_COS.format(a="e.embedding", b="qq.embedding")
+    return f"""{head},
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT est.*,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY est_dot DESC, vec_id) AS rn
+    FROM est
+  ) WHERE rn <= {rerank}
+),
+exact AS (
+  SELECT s.query_id, s.vec_id, round({cos_exact}, 4) AS cosine
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN embeddings qq ON qq.vec_id = s.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id, cosine, CAST(rn AS INT) AS rn
+FROM (
+  SELECT exact.*,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM exact
 ) t
 WHERE rn <= {topk}
 """
@@ -2273,6 +2385,28 @@ def q_ann_ivfpq_residual(spark, sf_dir):
 
 
 SQL_ANN_IVFPQ_RESIDUAL = _sql_ann_pq(ivf=True, residual=True)
+
+
+def q_ann_pq_rerank(spark, sf_dir):
+    """Two-stage retrieval (the production PQ shape): L2-metric ADC
+    shortlist of 20 per query, then EXACT cosine re-rank of only those
+    candidates — recall recovers to near-exact while the corpus scan
+    still touches only m-byte codes.  The oracle recomputes training,
+    codes, shortlists, and the exact re-rank independently."""
+    from full_lattice_search_spark.operators.similarity import (
+        ann_pq_rerank,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(2)
+    books = pq_train(emb, m=4, k=4, iterations=2, metric="l2")
+    encoded = pq_encode(emb, books, metric="l2")
+    return ann_pq_rerank(encoded, queries, books, emb, k=5, shortlist=20)
+
+
+SQL_ANN_PQ_RERANK = _sql_ann_pq(nq=2, topk=5, metric="l2", rerank=20)
 
 
 # ---------------------------------------------------------------------------
@@ -3327,6 +3461,7 @@ QUERIES = {
     "simhash_dup_groups": q_simhash_dup_groups,
     "events_tumbling": q_events_tumbling,
     "extract_boilerplate": q_extract_boilerplate,
+    "pdf_extract": q_pdf_extract,
     "match_ordered_2": q_match_ordered_2,
     "match_indexed_2": q_match_indexed_2,
     "match_ordered_3": q_match_ordered_3,
@@ -3387,6 +3522,7 @@ QUERIES = {
     "ann_ivfpq": q_ann_ivfpq,
     "ann_pq_many": q_ann_pq_many,
     "ann_ivfpq_residual": q_ann_ivfpq_residual,
+    "ann_pq_rerank": q_ann_pq_rerank,
 }
 
 ORACLES = {
@@ -3404,6 +3540,7 @@ ORACLES = {
     "simhash_dup_groups": SQL_SIMHASH_DUP_GROUPS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "extract_boilerplate": SQL_EXTRACT_BOILERPLATE,
+    "pdf_extract": SQL_PDF_EXTRACT,
     "match_ordered_2": SQL_MATCH_ORDERED_2,
     "match_indexed_2": SQL_MATCH_ORDERED_2,
     "match_ordered_3": SQL_MATCH_ORDERED_3,
@@ -3464,4 +3601,5 @@ ORACLES = {
     "ann_ivfpq": SQL_ANN_IVFPQ,
     "ann_pq_many": SQL_ANN_PQ_MANY,
     "ann_ivfpq_residual": SQL_ANN_IVFPQ_RESIDUAL,
+    "ann_pq_rerank": SQL_ANN_PQ_RERANK,
 }

@@ -121,8 +121,180 @@ def main() -> None:
                 f"| {n_cand / (len(exact) * k):.3f} | {wall:.2f} |"
             )
             print(corpus_name, name, round(mean_r, 3))
+    # ---- the full production ladder: IVF / PQ / IVF-PQ / residual -----
+    # Protocol: corpora NORMALIZED for the ladder (PQ ranks by estimated
+    # dot; with unit vectors dot ≡ cosine, so recall vs the cosine truth
+    # set is apples-to-apples), PQ metric = l2 (Jégou's; cosine codeword
+    # assignment is near-arbitrary among same-direction codewords on
+    # clustered data).
+    from pyspark.sql import functions as F
+
+    from full_lattice_search_spark.operators.similarity import (
+        _adc_estimate,
+        _residual_col,
+        ann_pq_many,
+        ann_pq_rerank,
+        ivf_assign,
+        ivf_topk,
+        pq_encode,
+        pq_train,
+        seed_centroids,
+    )
+
+    M, KCB, NC, NPROBE = 8, 16, 8, 2
+
+    def batch_union(per_query_frames):
+        out = per_query_frames[0]
+        for o in per_query_frames[1:]:
+            out = out.unionByName(o)
+        return out
+
+    def normalized(df):
+        n = (
+            "sqrt(aggregate(embedding, cast(0.0 as double), "
+            "(a, x) -> a + cast(x as double) * cast(x as double)))"
+        )
+        return df.select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> cast(x as double) / ({n}))"
+            ).alias("embedding"),
+        ).cache()
+
+    for corpus_name, corpus in (
+        ("driver embeddings (isotropic, normalized)", normalized(emb)),
+        ("planted-cluster twin (normalized)", normalized(emb_planted)),
+    ):
+        queries = corpus.orderBy("vec_id").limit(n_queries).cache()
+        q_rows = queries.select("vec_id", "embedding").collect()
+        exact = truth_sets(brute_force_topk_arrow(corpus, queries, k=k))
+        cents = seed_centroids(corpus, NC)
+        cents_list = [
+            (int(r["cluster_id"]), [float(x) for x in r["cvec"]])
+            for r in cents.orderBy("cluster_id").collect()
+        ]
+        assigned = ivf_assign(corpus, cents).cache()
+        assigned.count()
+        books = pq_train(corpus, m=M, k=KCB, iterations=2, metric="l2")
+        encoded = pq_encode(corpus, books, metric="l2").join(
+            assigned.select("vec_id", "cluster"), "vec_id"
+        ).cache()
+        encoded.count()
+        resid = assigned.select(
+            F.col("vec_id"), "cluster",
+            _residual_col(F.col("vec"), F.col("cluster"),
+                          cents_list).alias("embedding"),
+        )
+        books_r = pq_train(resid, m=M, k=KCB, iterations=2,
+                           zero_safe=True, metric="l2")
+        encoded_r = pq_encode(resid, books_r, metric="l2").join(
+            assigned.select("vec_id", "cluster"), "vec_id"
+        ).cache()
+        encoded_r.count()
+
+        cmat = np.array([c for _, c in cents_list])
+        cids = np.array([cid for cid, _ in cents_list])
+
+        def probes_of(qvec):
+            qv = np.asarray(qvec, dtype=np.float64)
+            sims = (cmat @ qv) / (
+                np.linalg.norm(cmat, axis=1) * np.linalg.norm(qv)
+            )
+            order = np.lexsort((cids, -sims))
+            return [int(cids[i]) for i in order[:NPROBE]]
+
+        def ladder_run(name, fn):
+            t0 = time.time()
+            approx = truth_sets(fn())
+            wall = time.time() - t0
+            recalls = [
+                len(approx.get(qid, set()) & hits) / len(hits)
+                for qid, hits in exact.items()
+            ]
+            mean_r = sum(recalls) / len(recalls)
+            ladder_lines.append(
+                f"| {name} | {mean_r:.3f} | {min(recalls):.3f} "
+                f"| {wall:.2f} |"
+            )
+            print("ladder", corpus_name, name, round(mean_r, 3))
+
+        def ivfpq_batch(enc, bks, coarse=False):
+            frames = []
+            for r in q_rows:
+                qid = int(r["vec_id"])
+                qvec = [float(x) for x in r["embedding"]]
+                pids = probes_of(qvec)
+                init = None
+                if coarse:
+                    entries = []
+                    for cid, cvec in cents_list:
+                        d = 0.0
+                        for x, y in zip(qvec, cvec):
+                            d += x * y
+                        entries += [F.lit(cid), F.lit(d)]
+                    init = F.element_at(
+                        F.create_map(*entries), F.col("cluster")
+                    )
+                est = _adc_estimate(bks, qvec, init=init)
+                frames.append(
+                    enc.filter(F.col("cluster").isin(pids))
+                    .filter(F.col("vec_id") != F.lit(qid))
+                    .select(
+                        F.lit(qid).alias("query_id"), "vec_id",
+                        est.alias("est_dot"),
+                    )
+                    .orderBy(F.desc("est_dot"), F.asc("vec_id"))
+                    .limit(k)
+                )
+            return batch_union(frames)
+
+        ladder_lines = [
+            "",
+            f"### Ladder — {corpus_name} "
+            f"(m={M}, k_codebook={KCB}, {NC} coarse centroids, "
+            f"n_probe={NPROBE})",
+            "",
+            f"| variant | mean recall@{k} | min recall@{k} | wall (s) |",
+            "|---|---|---|---|",
+        ]
+        ladder_run(
+            "IVF (exact within probes)",
+            lambda: ivf_topk(corpus, queries, k=k, n_centroids=NC,
+                             n_probe=NPROBE),
+        )
+        ladder_run(
+            "PQ ADC (full scan)",
+            lambda: ann_pq_many(encoded, queries, books, k=k),
+        )
+        ladder_run(
+            "IVF-PQ", lambda: ivfpq_batch(encoded, books)
+        )
+        ladder_run(
+            "IVF-PQ residual",
+            lambda: ivfpq_batch(encoded_r, books_r, coarse=True),
+        )
+        for sl in (50, 200):
+            ladder_run(
+                f"PQ ADC + exact rerank@{sl}",
+                lambda sl=sl: ann_pq_rerank(
+                    encoded, queries, books, corpus, k=k, shortlist=sl
+                ),
+            )
+        lines += ladder_lines
+
     lines += [
         "",
+        "- Ladder read: IVF's miss rate is pure probe pruning"
+        " (n_probe/n_centroids of the corpus scanned); PQ's is pure"
+        " quantization error at the same scan size; IVF-PQ compounds"
+        " both; the residual refinement recovers quantization error"
+        " by spending the codebook on one Voronoi cell's spread instead"
+        " of the whole space.  On tightly clustered corpora the true"
+        " top-k differ by LESS than the quantization noise, so raw ADC"
+        " recall@10 plateaus regardless of m/k_codebook — the exact-"
+        "rerank row shows the production answer: ADC keeps a shortlist"
+        " (cheap m-byte scan), exact cosine re-scores only"
+        " |queries|x|shortlist| rows, and recall returns to ~1.",
         "- The driver's synthetic embeddings are ISOTROPIC (same-label mean"
         " cosine 0.00045 vs cross-label 0.00041; top-10 label purity 9.9% ="
         " chance): no bucketing scheme can beat its candidate fraction"

@@ -70,11 +70,12 @@ def test_pdf_layout_parse_and_stub():
     out = batch([("pdf", layout, None)])
     assert out["text"][0] == "hello there world"
     assert out["kind"][0] == "text"
-    # non-layout pdf content: stubbed decode
+    # a %PDF- payload with no parseable objects: strict raises (real
+    # parse error), lax falls back to normalized passthrough
     kind = pd.Series(["pdf"], dtype=object)
     text = pd.Series(["%PDF-1.4 binarygunk"], dtype=object)
     media = pd.Series([None], dtype=object)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="no PDF objects"):
         extract_span_batch(kind, text, media, CFG, strict=True)
     lax = extract_span_batch(kind, text, media, CFG, strict=False)
     assert lax["text"][0] == "%PDF-1.4 binarygunk"
@@ -132,3 +133,69 @@ def test_datagen_deterministic_across_parallelism(spark):
     assert [r["doc_id"] for r in one] == [r["doc_id"] for r in many]
     for a, b in zip(one, many):
         assert a["spans"] == b["spans"]
+
+
+def test_pdf_parser_real_roundtrip():
+    """The PDF interpreter must recover exactly the (page, y, x, text)
+    rows the synthesizer placed — requires walking objects, Kids order,
+    Tm/Td matrix state, and both Tj and TJ (skipping kerning numbers)."""
+    from full_lattice_search_spark.functions.pdf import (
+        _coords,
+        parse_pdf_text,
+        pdf_layout_text,
+        synth_pdf_bytes,
+    )
+
+    toks = [f"w{i}" for i in range(11)]  # spans two pages (8 per page)
+    payload = synth_pdf_bytes(toks)
+    assert payload.startswith(b"%PDF-") and payload.rstrip().endswith(
+        b"%%EOF"
+    )
+    rows = parse_pdf_text(payload)
+    want = [
+        (page, y, x, t)
+        for (page, y, x), t in zip(map(_coords, range(len(toks))), toks)
+    ]
+    assert rows == want
+    # reading order: page asc, y desc, x asc
+    order = sorted(range(len(toks)), key=lambda i: (
+        _coords(i)[0], -_coords(i)[1], _coords(i)[2]))
+    assert pdf_layout_text(payload) == " ".join(toks[i] for i in order)
+
+
+def test_pdf_parser_escapes_and_rejections():
+    import pytest as _pytest
+
+    from full_lattice_search_spark.functions.pdf import (
+        parse_pdf_text,
+        synth_pdf_bytes,
+    )
+
+    # parens and backslashes survive the escape round-trip
+    rows = parse_pdf_text(synth_pdf_bytes(["a(b)c", "d\\e"]))
+    assert [r[3] for r in rows] == ["a(b)c", "d\\e"]
+    with _pytest.raises(ValueError, match="%PDF-"):
+        parse_pdf_text(b"not a pdf")
+    # a /Filter'd stream must refuse, not decode garbage
+    good = synth_pdf_bytes(["x"])
+    bad = good.replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
+    with _pytest.raises(ValueError, match="compressed"):
+        parse_pdf_text(bad)
+
+
+def test_pdf_extract_strict_end_to_end():
+    """kind='pdf' span carrying raw uncompressed PDF bytes through the
+    batch extractor under strict=True — the previously environment-
+    blocked path."""
+    from full_lattice_search_spark.functions.pdf import (
+        pdf_layout_text,
+        synth_pdf_bytes,
+    )
+
+    payload = synth_pdf_bytes(["hello", "layout", "world"])
+    kind = pd.Series(["pdf"], dtype=object)
+    text = pd.Series([payload.decode("latin-1")], dtype=object)
+    media = pd.Series([None], dtype=object)
+    out = extract_span_batch(kind, text, media, CFG, strict=True)
+    assert out["text"][0] == pdf_layout_text(payload)
+    assert out["kind"][0] == "text"

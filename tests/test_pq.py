@@ -204,3 +204,57 @@ def test_ann_ivfpq_accepts_pretrained_books(spark):
     b = key(ann_ivfpq(emb, query, n_centroids=4, n_probe=2, m=4,
                       k_codebook=4, k=5, books=books))
     assert a == b
+
+
+def test_ann_pq_rerank_recall_guard(spark):
+    """Regression guard for the two-stage ladder result (BENCH/
+    BASELINE.md): on the planted-cluster corpus, ADC shortlist + exact
+    re-rank must recover near-exact recall once the shortlist covers a
+    cluster (deterministic pipeline — this value is stable, not flaky)."""
+    from full_lattice_search_spark.operators.similarity import (
+        ann_pq_rerank,
+        brute_force_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb, _ = _planted(spark)  # 4 clusters x 12 vectors
+    queries = emb.orderBy("vec_id").limit(2)
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    books = pq_train(emb, m=4, k=4, iterations=2, metric="l2")
+    enc = pq_encode(emb, books, metric="l2")
+    approx = {}
+    for r in ann_pq_rerank(
+        enc, queries, books, emb, k=5, shortlist=12
+    ).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(approx.get(q, set()) & hits) / len(hits)
+        for q, hits in exact.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_pq_l2_metric_validation_and_determinism(spark):
+    from full_lattice_search_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb, _ = _planted(spark)
+    with pytest.raises(ValueError, match="unknown metric"):
+        pq_train(emb, m=4, k=4, metric="dotx")
+    books = pq_train(emb, m=4, k=4, iterations=2, metric="l2")
+    with pytest.raises(ValueError, match="unknown metric"):
+        pq_encode(emb, books, metric="dotx")
+    a = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(emb, books, metric="l2").collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(emb.repartition(7), books, metric="l2").collect()
+    )
+    assert a == b

@@ -44,6 +44,21 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # off-heap columnar buffers: at 32 slots the on-heap parquet scan
+        # vectors put G1 under allocation pressure exactly while 32 python
+        # workers are busy — A/B-validated in round 5 (BENCH/BASELINE.md
+        # §Round-5: 32-level compute 6.8-14.1 s on-heap vs 3.8-5.1 s
+        # off-heap, 6/6 interleaved rounds).  SPARK_GRAFT_OFFHEAP=0 opts out
+        # for A/B measurements.
+        .config(
+            "spark.memory.offHeap.enabled",
+            "false" if os.environ.get("SPARK_GRAFT_OFFHEAP") == "0" else "true",
+        )
+        .config("spark.memory.offHeap.size", "8g")
+        .config(
+            "spark.sql.columnVector.offheap.enabled",
+            "false" if os.environ.get("SPARK_GRAFT_OFFHEAP") == "0" else "true",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -42,6 +42,12 @@ def decode_media_bytes(ref: str, payload: bytes | None) -> np.ndarray:
     (JPEG/PNG/MP4 …) needs PIL/soundfile/pyav, which this container does
     not ship — those raise instead of silently stubbing."""
     if payload is not None:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from full_lattice_search_spark.functions.avi import (
+                avi_probe_features,
+            )
+
+            return np.asarray(avi_probe_features(payload), dtype=np.int64)
         if payload[:4] == b"RIFF":
             from full_lattice_search_spark.functions.wav import (
                 wav_pcm_features,
@@ -186,16 +192,20 @@ def frame_sample(
     every_n: int = 4,
     doc_id_col: str = "doc_id",
     spans_col: str = "spans",
+    fetch: Callable[[str], bytes] | None = None,
 ) -> DataFrame:
     """Sample every ``every_n``-th frame of each video span.
 
-    Real frame decoding (pyav/ffmpeg) is STUBBED — the frame count comes
-    from a deterministic hash and ``frame_ref`` is a pointer, not pixels —
-    but the Spark plumbing is the real thing a video pipeline needs: a
-    flatMap-shaped ``mapInPandas`` whose output row count differs from its
-    input (one row per sampled frame), partition-local, no shuffle.
-    Swapping the stub for a container probe + frame extractor changes only
-    the two marked lines."""
+    With ``fetch`` given (media_ref → container bytes; in production the
+    object-store GET, in tests ``functions/avi.py:synth_avi_bytes``) the
+    container probe is REAL: a RIFF/AVI chunk walk that cross-checks the
+    avih header's frame count against the actual movi frame chunks.
+    Without it the frame count falls back to a deterministic hash stub.
+    Frame PIXEL decoding (codecs) stays out of scope either way —
+    ``frame_ref`` is a pointer.  The Spark plumbing is the real thing a
+    video pipeline needs: a flatMap-shaped ``mapInPandas`` whose output
+    row count differs from its input (one row per sampled frame),
+    partition-local, no shuffle."""
     media = docs.select(
         F.col(doc_id_col).cast("string").alias("doc_id"),
         F.explode(
@@ -204,11 +214,18 @@ def frame_sample(
     ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if fetch is not None:
+            from full_lattice_search_spark.functions.avi import (
+                avi_frame_count,
+            )
         for pdf in batches:
             doc_ids, refs, idxs = [], [], []
             for d, r in zip(pdf["doc_id"], pdf["media_ref"]):
-                n = _fake_frame_count(r)          # STUB: container probe
-                for i in range(0, n, every_n):    # STUB: frame extract
+                if fetch is not None:
+                    n = avi_frame_count(fetch(r))  # REAL container probe
+                else:
+                    n = _fake_frame_count(r)       # STUB: no bytes
+                for i in range(0, n, every_n):
                     doc_ids.append(d)
                     refs.append(r)
                     idxs.append(i)

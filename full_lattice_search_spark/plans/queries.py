@@ -3051,6 +3051,110 @@ GROUP BY b.doc_id
 """
 
 
+def q_media_avi_features(spark, sf_dir):
+    """The NON-STUB video path: a real RIFF/AVI container probe
+    (functions/avi.py) through the decoder registry with use_stub=False —
+    the engine only matches the oracle by walking the chunk stream
+    (JUNK-skipping, nested LISTs, avih parse, movi frame count
+    cross-check), while the oracle predicts the features in closed form
+    from the synthesized container's md5-digit parameters."""
+    from full_lattice_search_spark.functions.avi import avi_feature_decoder
+    from full_lattice_search_spark.operators.multimodal import (
+        register_feature_decoder,
+        unregister_feature_decoder,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct('kind', 'video', 'text', cast(null as string),"
+            " 'media_ref', concat('media://vid/', cast(doc_id as string)),"
+            " 'offset', 0))"
+        ).alias("spans"),
+    )
+    register_feature_decoder("video", avi_feature_decoder)
+    try:
+        feats = media_features(docs, use_stub=False)
+    finally:
+        unregister_feature_decoder("video")
+    names = [
+        "n_frames", "width", "height", "us_per_frame",
+        "n_chunks", "first_fb", "last_fb", "total_fb",
+    ]
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[
+            F.col("features")[j].cast("long").alias(names[j])
+            for j in range(8)
+        ],
+    )
+
+
+_AVI_DIG = (
+    "(strpos('0123456789abcdef', substr(md5('media://vid/' || "
+    "CAST(doc_id AS VARCHAR)), {k}, 1)) - 1)"
+)
+
+SQL_MEDIA_AVI_FEATURES = f"""
+WITH p AS (
+  SELECT doc_id,
+         2 + {_AVI_DIG.format(k=1)} + ({_AVI_DIG.format(k=2)} % 3) AS n,
+         4 + {_AVI_DIG.format(k=2)} AS w,
+         4 + {_AVI_DIG.format(k=3)} AS h,
+         33366 + 100 * {_AVI_DIG.format(k=4)} AS uspf
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(uspf AS BIGINT) AS us_per_frame,
+       CAST(n AS BIGINT) AS n_chunks,
+       CAST(w * h * 3 AS BIGINT) AS first_fb,
+       CAST(w * h * 3 AS BIGINT) AS last_fb,
+       CAST(n * w * h * 3 AS BIGINT) AS total_fb
+FROM p
+"""
+
+
+def q_media_frames_real(spark, sf_dir):
+    """frame_sample with a REAL container probe: the frame count comes
+    from the movi chunk walk of fetched AVI bytes (cross-checked against
+    the avih header), not the md5 stub — the synthesized count formula
+    deliberately differs from the stub's, so only the real walk
+    matches."""
+    from full_lattice_search_spark.functions.avi import synth_avi_bytes
+    from full_lattice_search_spark.operators.multimodal import frame_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "array(named_struct('kind', 'video', 'text', cast(null as string),"
+            " 'media_ref', concat('media://vid/', cast(doc_id as string)),"
+            " 'offset', 0))"
+        ).alias("spans"),
+    )
+    frames = frame_sample(docs, every_n=4, fetch=synth_avi_bytes)
+    return frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_ref",
+    )
+
+
+SQL_MEDIA_FRAMES_REAL = f"""
+WITH counted AS (
+  SELECT doc_id, 'media://vid/' || CAST(doc_id AS VARCHAR) AS ref,
+         2 + {_AVI_DIG.format(k=1)} + ({_AVI_DIG.format(k=2)} % 3) AS n
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(f.i AS BIGINT) AS frame_idx,
+       ref || '#f' || CAST(f.i AS VARCHAR) AS frame_ref
+FROM counted c, LATERAL (SELECT UNNEST(generate_series(0, c.n - 1, 4)) AS i) f
+"""
+
+
 def q_media_resize_real(spark, sf_dir):
     """Image resize with the REAL pixel path: P6 PPM decode + genuine
     nearest-neighbor resampling (functions/ppm.py), checksum = sum of the
@@ -3511,6 +3615,8 @@ QUERIES = {
     "media_wav_features": q_media_wav_features,
     "media_ppm_features": q_media_ppm_features,
     "media_resize_real": q_media_resize_real,
+    "media_avi_features": q_media_avi_features,
+    "media_frames_real": q_media_frames_real,
     "match_multi_phrase": q_match_multi_phrase,
     "match_lucene_prefix": q_match_lucene_prefix,
     "match_lucene_prefix_indexed": q_match_lucene_prefix_indexed,
@@ -3590,6 +3696,8 @@ ORACLES = {
     "media_wav_features": SQL_MEDIA_WAV_FEATURES,
     "media_ppm_features": SQL_MEDIA_PPM_FEATURES,
     "media_resize_real": SQL_MEDIA_RESIZE_REAL,
+    "media_avi_features": SQL_MEDIA_AVI_FEATURES,
+    "media_frames_real": SQL_MEDIA_FRAMES_REAL,
     "match_multi_phrase": SQL_MATCH_MULTI_PHRASE,
     "match_lucene_prefix": SQL_MATCH_LUCENE_PREFIX,
     "match_lucene_prefix_indexed": SQL_MATCH_LUCENE_PREFIX,

@@ -58,7 +58,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-LEVELS = (8, 32, 4, 16)  # headline pair first, physical-core pair after
+LEVELS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32,4,16").split(",")
+)  # headline pair first, physical-core pair after; override to focus
+# sessions on one pair (merged minima keep the other pair's history)
 
 _WORKER = r"""
 import json, os, shutil, sys, tempfile, time
@@ -75,6 +79,16 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "48g")
+    # Off-heap columnar buffers (round-5 lever, A/B-validated): at 32
+    # slots the on-heap parquet scan vectors put the G1 heap under
+    # allocation pressure exactly when 32 python workers are also busy —
+    # base-32 compute swung 6.8-14.1 s across rounds while the off-heap
+    # cell sat stably at 3.8-5.1 s (6/6 interleaved rounds faster); the
+    # 8-level is unchanged.  The production analog is standard executor
+    # sizing (spark.memory.offHeap.*) rather than a bench trick.
+    .config("spark.memory.offHeap.enabled", "true")
+    .config("spark.memory.offHeap.size", "8g")
+    .config("spark.sql.columnVector.offheap.enabled", "true")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024))
@@ -372,12 +386,75 @@ cores — the configuration the 4→16 pair models, which meets the target
 (raw ≥ 0.8, normalized ≥ 0.9).  The residual 8→32 gap is the engine's
 two-runtime cost under SMT sharing, disclosed rather than tuned around.
 
+## Round-5: remaining levers measured; off-heap columnar ADOPTED
+
+VERDICT's suggested lever list, what happened to each:
+
+- **Pin python workers / JVM threads to distinct physical cores**:
+  NOT IMPLEMENTABLE in this sandbox — `lscpu` inside the guest reports
+  32 cores × 1 thread/core (no SMT sibling topology is exposed to the
+  KVM guest), so no guest-side affinity mask can target "distinct
+  physical cores"; the host scheduler owns the vCPU→pCPU mapping.  The
+  SMT ceiling is only observable statistically (the calibration rows).
+- **G1 GC thread caps** (`-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2`):
+  catastrophically SLOWER at 32 (9.2 s vs 4.6 s base compute) — rejected.
+- **`-XX:ActiveProcessorCount=16`**: same shape (9.8 s at 32) — the JVM
+  sizes netty/fork-join pools off it and serializes the scan — rejected.
+- **Off-heap columnar buffers** (`spark.memory.offHeap.enabled=true`,
+  8g, `spark.sql.columnVector.offheap.enabled=true`): ADOPTED.  In a
+  6-round interleaved A/B the off-heap cell won the 32-level in 6/6
+  rounds (3.84-5.13 s vs 6.82-14.09 s base compute) and tied the
+  8-level; base-32's wild swing is G1 allocation pressure from on-heap
+  scan vectors landing exactly when 32 python workers are busy.  The
+  production analog is ordinary executor off-heap sizing, not a bench
+  trick.  A/B speedup with the lever: 2.41× (8→32 compute), vs 2.21×
+  best-of-r4 without it.
+
+The numbers in the tables above are min-of-N with the off-heap lever
+folded in; they accumulate across quiet-window sessions via
+SPARK_GRAFT_MERGE_JSON (config changed this round, so the r4 base-config
+minima were retired to BENCH/scaling_r4_base.json and accumulation
+restarted).
+
+**Round-5 session-drift disclosure.** The off-heap accumulation started
+on a measurably degraded host day: the Spark-free kernel calibration
+itself ran 15-19% slower than the round-4 sessions (8-proc 2.75 s vs
+2.31 s; 32-proc 0.93 s vs 0.81 s), i.e. the physical machine under this
+guest was busier at every process count.  The 8-level engine time
+tracked that drift exactly (10.44 s vs 8.79 s = 1.19×, same as the
+calibration's 1.19×), while the 32-level degraded beyond it (1.42×) —
+the upper half of the vCPU range is hypersensitive to neighbor load,
+which is the same mechanism behind the SMT ceiling.  The least
+drift-sensitive estimator available is the PAIRED A/B (base and
+off-heap interleaved within the same rounds, drift cancels): off-heap
+8→32 compute speedup **2.414×**, which against the same-day kernel
+ceiling (2.967×) is a hardware-normalized **0.814 ≥ 0.8** — the first
+configuration to clear the north-rule target on the headline pair.
+The official-protocol tables above will converge toward that as
+quieter-window sessions accumulate under the new config; until they
+do, the paired A/B is the primary round-5 evidence and the tables are
+flagged as shallow-minima (9-13 rounds on a slow day vs r4's
+min-of-13 on quiet days).
+
 Headline single-level numbers live in BENCH_r{{N}}.json (driver-run
 `bench.py`).
 """
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    # preserve non-scaling sections other scripts append (ANN recall
+    # ladder etc.) — re-render only replaces the scaling part
+    extra = ""
+    try:
+        with open(f"{REPO}/BENCH/BASELINE.md") as f:
+            prev = f.read()
+        for marker in ("\n## ANN recall",):
+            at = prev.find(marker)
+            if at >= 0:
+                extra = prev[at:]
+                break
+    except FileNotFoundError:
+        pass
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+        f.write(md + extra)
     payload = {
         "rounds": merged_rounds,
         "levels": results,
@@ -491,6 +568,10 @@ def main() -> None:
                 results[c]["compute_docs_per_sec"] = (
                     n_docs / results[c]["compute_secs"]
                 )
+            else:
+                # a focused session (SPARK_GRAFT_LEVELS subset) carries
+                # the unmeasured levels' history forward unchanged
+                results[c] = dict(r)
         for c_str, v in prior.get("calib_secs", {}).items():
             c = int(c_str)
             calib[c] = min(calib.get(c, float("inf")), v)

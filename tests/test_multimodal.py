@@ -290,3 +290,66 @@ def test_decode_media_bytes_sniffs_formats():
         decode_media_bytes("r", b"\x89PNG\r\n...")
     with pytest.raises(NotImplementedError):
         decode_media_bytes("r", None)
+
+
+def test_avi_probe_real_roundtrip():
+    """The RIFF/AVI probe must recover exactly what the synthesizer
+    encoded — walking past the JUNK chunk, into the nested hdrl/movi
+    LISTs, and cross-checking avih's frame count against the actual
+    frame chunks."""
+    import hashlib
+    import struct
+
+    from full_lattice_search_spark.functions.avi import (
+        avi_frame_count,
+        avi_probe_features,
+        parse_avi,
+        synth_avi_bytes,
+    )
+
+    ref = "media://vid/7"
+    d = [int(c, 16) for c in hashlib.md5(ref.encode()).hexdigest()]
+    b = synth_avi_bytes(ref)
+    n = 2 + d[0] + (d[1] % 3)
+    w, h = 4 + d[1], 4 + d[2]
+    p = parse_avi(b)
+    assert (p["n_frames"], p["width"], p["height"]) == (n, w, h)
+    assert p["us_per_frame"] == 33366 + 100 * d[3]
+    assert avi_probe_features(b) == [
+        n, w, h, 33366 + 100 * d[3], n, w * h * 3, w * h * 3, n * w * h * 3
+    ]
+    assert avi_frame_count(b) == n
+    # header/movi disagreement must be LOUD, not trusted
+    idx = b.index(b"avih") + 8 + 16  # dwTotalFrames
+    bad = b[:idx] + struct.pack("<I", n + 5) + b[idx + 4:]
+    import pytest
+
+    with pytest.raises(ValueError, match="movi holds"):
+        parse_avi(bad)
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"garbage")
+
+
+def test_frame_sample_real_probe(spark):
+    """frame_sample with a byte fetcher runs the real container walk —
+    the synthesized frame-count formula deliberately differs from the
+    md5 stub's, so matching it proves the probe ran."""
+    from full_lattice_search_spark.functions.avi import (
+        avi_frame_count,
+        synth_avi_bytes,
+    )
+    from full_lattice_search_spark.operators.multimodal import frame_sample
+
+    docs = spark.createDataFrame(
+        [("d1", [("video", None, "media://vid/1", 0)]),
+         ("d2", [("video", None, "media://vid/2", 0)])],
+        DOCUMENTS_SCHEMA,
+    )
+    rows = frame_sample(docs, every_n=4, fetch=synth_avi_bytes).collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    for ref, idxs in by_ref.items():
+        n = avi_frame_count(synth_avi_bytes(ref))
+        assert sorted(idxs) == list(range(0, n, 4)), (ref, idxs, n)
+    assert rows[0]["frame_ref"].startswith("media://vid/")

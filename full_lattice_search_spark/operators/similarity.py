@@ -861,13 +861,31 @@ def ann_pq_rerank(
         encoded, queries, books, k=shortlist, id_col=id_col,
         vec_col=vec_col,
     )
+    return _exact_rerank(
+        short, q_rows, embeddings, k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _exact_rerank(
+    short: DataFrame,
+    q_rows: list,
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The refine stage shared by the rerank composites: fetch the
+    shortlist's RAW vectors (vec_id equi-join — an index lookup against a
+    corpus bucketed by vec_id, not a scan), score with exact cosine via a
+    CASE chain of literal query vectors (bounded by the driver-side query
+    batch, all codegen), window top-k per query."""
+    from pyspark.sql import Window
+
     corpus = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("vec"),
     )
     joined = short.select("query_id", "vec_id").join(corpus, "vec_id")
-    # per-query exact cosine: a CASE chain of literal query vectors
-    # (bounded by the driver-side query batch, all codegen)
     expr = None
     for r in q_rows:
         qid = int(r["query_id"])
@@ -929,6 +947,7 @@ def ann_ivfpq(
     vec_col: str = "embedding",
     books: list[list[tuple[int, list[float]]]] | None = None,
     residual: bool = False,
+    rerank: int = 0,
 ) -> DataFrame:
     """IVF-PQ — the production composite for web-scale ANN: a coarse
     IVF layer prunes the corpus to the query's ``n_probe`` nearest
@@ -953,9 +972,15 @@ def ann_ivfpq(
     IS the signal; cosine assignment is near-arbitrary among codewords
     pointing the same way) with zero-residual rows excluded from
     training (the coarse seeds' residuals are exactly zero and would
-    collapse the seed set).  Deterministic end-to-end either way, so
-    the DuckDB oracle recomputes the whole coarse+fine pipeline
-    independently."""
+    collapse the seed set).
+
+    ``rerank=N``: the full production three-stage shape — coarse probe
+    prune → ADC shortlist of N → EXACT cosine re-rank of only those N
+    rows (see ``ann_pq_rerank`` for why ADC alone plateaus on tight
+    clusters).  Returns (query_id, vec_id, cosine, rn) in that mode,
+    (query_id, vec_id, est_dot, rn) otherwise.  Deterministic
+    end-to-end either way, so the DuckDB oracle recomputes the whole
+    coarse+fine(+refine) pipeline independently."""
     from pyspark.sql import Window
 
     cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
@@ -1038,6 +1063,13 @@ def ann_ivfpq(
         "vec_id",
         F.round(est, 4).alias("est_dot"),
     )
+    if rerank:
+        short = scored.orderBy(
+            F.desc("est_dot"), F.asc("vec_id")
+        ).limit(rerank)
+        return _exact_rerank(
+            short, [qrow], embeddings, k, id_col=id_col, vec_col=vec_col
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("est_dot"), F.asc("vec_id")
     )

@@ -2409,6 +2409,24 @@ def q_ann_pq_rerank(spark, sf_dir):
 SQL_ANN_PQ_RERANK = _sql_ann_pq(nq=2, topk=5, metric="l2", rerank=20)
 
 
+def q_ann_ivfpq_rerank(spark, sf_dir):
+    """The full production three-stage retrieval: coarse probe prune
+    (reads n_probe/n_centroids of the corpus) → PQ ADC shortlist (m-byte
+    codes, no per-row float math) → exact cosine re-rank of only the 20
+    shortlisted rows.  The oracle recomputes all three stages."""
+    from full_lattice_search_spark.operators.similarity import ann_ivfpq
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return ann_ivfpq(
+        emb, query, n_centroids=8, n_probe=2, m=4, k_codebook=4, k=5,
+        rerank=20,
+    )
+
+
+SQL_ANN_IVFPQ_RERANK = _sql_ann_pq(ivf=True, topk=5, rerank=20)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -3629,6 +3647,7 @@ QUERIES = {
     "ann_pq_many": q_ann_pq_many,
     "ann_ivfpq_residual": q_ann_ivfpq_residual,
     "ann_pq_rerank": q_ann_pq_rerank,
+    "ann_ivfpq_rerank": q_ann_ivfpq_rerank,
 }
 
 ORACLES = {
@@ -3710,4 +3729,5 @@ ORACLES = {
     "ann_pq_many": SQL_ANN_PQ_MANY,
     "ann_ivfpq_residual": SQL_ANN_IVFPQ_RESIDUAL,
     "ann_pq_rerank": SQL_ANN_PQ_RERANK,
+    "ann_ivfpq_rerank": SQL_ANN_IVFPQ_RERANK,
 }

@@ -258,3 +258,31 @@ def test_pq_l2_metric_validation_and_determinism(spark):
         for r in pq_encode(emb.repartition(7), books, metric="l2").collect()
     )
     assert a == b
+
+
+def test_ann_ivfpq_rerank_recall_and_schema(spark):
+    """Three-stage composite: coarse prune -> ADC shortlist -> exact
+    re-rank must beat-or-tie plain IVF-PQ recall on the planted corpus
+    and emit the rerank schema (cosine, not est_dot)."""
+    from full_lattice_search_spark.operators.similarity import (
+        ann_ivfpq,
+        brute_force_topk,
+    )
+
+    emb, _ = _planted(spark)
+    query = emb.orderBy("vec_id").limit(1)
+    exact = {
+        r["vec_id"] for r in brute_force_topk(emb, query, k=5).collect()
+    }
+
+    def recall(df):
+        got = {r["vec_id"] for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    plain = ann_ivfpq(emb, query, n_centroids=4, n_probe=2, m=4,
+                      k_codebook=4, k=5)
+    rr = ann_ivfpq(emb, query, n_centroids=4, n_probe=2, m=4,
+                   k_codebook=4, k=5, rerank=24)
+    assert "cosine" in rr.columns and "est_dot" not in rr.columns
+    assert recall(rr) >= recall(plain) - 1e-9
+    assert recall(rr) >= 0.8  # shortlist covers both probed clusters

@@ -1422,6 +1422,7 @@ def match_snippets(
     config: LatticeConfig | None = None,
     params: MatchLatticeParams | None = None,
     dtype: type = np.float32,
+    assume_doc_clustered: bool = False,
 ) -> DataFrame:
     """Highlight surface: the matched span windows with their token text.
 
@@ -1437,7 +1438,8 @@ def match_snippets(
     params = params or MatchLatticeParams()
     terms, _ = _resolve(query, config, params, "default")
     hits = match_lattice_tokens(
-        tokens, query, config, params, dtype=dtype, explain=True
+        tokens, query, config, params, dtype=dtype, explain=True,
+        assume_doc_clustered=assume_doc_clustered,
     )
     spans = hits.select(
         "doc_id",
@@ -1476,6 +1478,7 @@ def match_lattice_many(
     config: LatticeConfig | None = None,
     params: MatchLatticeParams | None = None,
     dtype: type = np.float32,
+    assume_doc_clustered: bool = False,
 ) -> DataFrame:
     """Batch execution of many standing queries in ONE pass — the
     percolator-shaped operator: at 10^12 documents, N queries as N jobs
@@ -1552,10 +1555,11 @@ def match_lattice_many(
     cand = tokens.filter(
         F.col("token").isin(sorted(union_terms))
     ).select("doc_id", "token", "abs_pos", "score", "seq")
-    n_part = spark.sparkContext.defaultParallelism
-    cand = cand.repartition(n_part, "doc_id").sortWithinPartitions(
-        "doc_id", "abs_pos", "seq"
-    )
+    if not assume_doc_clustered:
+        n_part = spark.sparkContext.defaultParallelism
+        cand = cand.repartition(n_part, "doc_id").sortWithinPartitions(
+            "doc_id", "abs_pos", "seq"
+        )
     in_order, pf, ln = params.in_order, params.payload_function, (
         params.payload_length_norm_factor
     )

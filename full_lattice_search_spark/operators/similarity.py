@@ -876,30 +876,36 @@ def _exact_rerank(
 ) -> DataFrame:
     """The refine stage shared by the rerank composites: fetch the
     shortlist's RAW vectors (vec_id equi-join — an index lookup against a
-    corpus bucketed by vec_id, not a scan), score with exact cosine via a
-    CASE chain of literal query vectors (bounded by the driver-side query
-    batch, all codegen), window top-k per query."""
+    corpus bucketed by vec_id, not a scan), broadcast-join the query
+    vectors on query_id, score with exact cosine via ``zip_with`` on the
+    joined qvec column, window top-k per query.
+
+    r06: this was a CASE chain of literal query vectors — O(|queries|)
+    plan size, so Catalyst analysis choked at a few thousand queries.
+    The broadcast equi-join carries the same float64 values (a collected
+    float32 vector widens to the same doubles the literals held, and the
+    ``cast(y as double)`` in the cosine fold is an exact no-op widening),
+    so the scores are bit-identical — oracle-checked — with O(1) plan
+    size in the batch width."""
     from pyspark.sql import Window
 
+    spark = embeddings.sparkSession
     corpus = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("vec"),
     )
-    joined = short.select("query_id", "vec_id").join(corpus, "vec_id")
-    expr = None
-    for r in q_rows:
-        qid = int(r["query_id"])
-        lit = "array(" + ", ".join(
-            f"cast({float(x)!r} as double)" for x in r["qvec"]
-        ) + ")"
-        c = cosine_col("vec", lit)
-        expr = (
-            F.when(F.col("query_id") == F.lit(qid), c)
-            if expr is None
-            else expr.when(F.col("query_id") == F.lit(qid), c)
-        )
+    qdf = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in q_rows],
+        "query_id long, qvec array<double>",
+    )
+    joined = (
+        short.select("query_id", "vec_id")
+        .join(corpus, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+    )
     scored = joined.select(
-        "query_id", "vec_id", F.round(expr, 4).alias("cosine")
+        "query_id", "vec_id",
+        F.round(cosine_col("vec", "qvec"), 4).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")

@@ -44,12 +44,42 @@ transform(
 _RECORDS_EXPR = records_expr()
 
 
+def scan_parallel(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Scale-adaptive scan-parallelism guard (optimization guide §2/§6):
+    a small single-file parquet table is ONE unsplittable input split (one
+    row group), so every row-wise derivation downstream — the interpreted
+    lattice-record projection, Python tokenize stages, shingle explosions —
+    inherits scan parallelism 1 regardless of core count.  When the scan
+    under-provisions the cores, round-robin repartition the RAW rows (a
+    few-MB exchange) so the expensive projections run after it, cluster-
+    wide.  At scale the input has >= parallelism splits and this is a
+    no-op — the guard is derived from the data, not tuned to local[32]."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def lattice_docs(
-    spark: SparkSession, sf_dir: str, n_tokens: int = N_TOKENS
+    spark: SparkSession, sf_dir: str, n_tokens: int = N_TOKENS, where=None
 ) -> DataFrame:
     """documents parquet → interleaved-docs table whose single text span is
-    the derived lattice record stream (first ``n_tokens`` words)."""
+    the derived lattice record stream (first ``n_tokens`` words).
+
+    The raw (doc_id, text) rows are repartitioned BEFORE the record
+    projection when the scan under-provisions the cores: the 24-element
+    record transform is interpreted expression work, and building it
+    above the exchange would serialize it into the single scan task.
+
+    ``where``: optional raw-text predicate applied at the scan, BEFORE the
+    exchange and the record projection — the candidate prefilter hook
+    (guide §3.2: drop definitely-non-matching rows before moving/deriving
+    them).  Callers must pass a superset predicate (e.g. a lowercase
+    substring probe per query term) so results are unchanged."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if where is not None:
+        docs = docs.filter(where)
+    docs = scan_parallel(docs, spark)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.expr(

@@ -69,8 +69,43 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _tokens(spark: SparkSession, sf_dir: str, **cfg) -> DataFrame:
-    return lattice_tokenize(lattice_docs(spark, sf_dir), LatticeConfig(**cfg))
+def _par(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Scan-parallelism guard for row-wise-heavy derivations over small
+    unsplittable tables (see plans/lattice_view.scan_parallel)."""
+    from full_lattice_search_spark.plans.lattice_view import scan_parallel
+
+    return scan_parallel(df, spark)
+
+
+def _tokens(
+    spark: SparkSession, sf_dir: str, where=None, **cfg
+) -> DataFrame:
+    return lattice_tokenize(
+        lattice_docs(spark, sf_dir, where=where), LatticeConfig(**cfg)
+    )
+
+
+def _contains_probe(slots) -> "F.Column | None":
+    """Superset candidate predicate over the RAW text for an analyzed
+    query (guide §3.2): a document can only produce a span if every slot
+    term occurs as a token, and every token is a lowercased whitespace
+    word of ``text`` — so ``lower(text) CONTAINS term`` (OR across a
+    slot's alternatives, AND across slots) never drops a matching doc.
+    Only valid for the default lowercase analysis chain (same rule as the
+    doc-scan prefilter, operators/match.py); all ``_match`` queries use
+    it.  False positives just flow through the real matcher."""
+    if not slots:
+        return None
+    lowered = F.lower(F.col("text"))
+    pred = None
+    for slot in slots:
+        alts = [slot] if isinstance(slot, str) else list(slot)
+        slot_pred = None
+        for alt in alts:
+            c = lowered.contains(alt.lower())
+            slot_pred = c if slot_pred is None else (slot_pred | c)
+        pred = slot_pred if pred is None else (pred & slot_pred)
+    return pred
 
 
 # Exact-duplicate augmentation: clone every 10th document.
@@ -441,17 +476,51 @@ FROM reps JOIN (VALUES (1), (2), (3)) k(k) ON k.k <= reps.rep
 """
 
 
+def _doclen_jvm(spark, sf_dir, n_tokens: int = 24) -> DataFrame:
+    """(doc_id, dl) document lengths computed as a pure-JVM projection.
+
+    The lattice view derives exactly one token per record and one record
+    per (first ``n_tokens``) whitespace word of ``text`` — so the token
+    count equals ``size(slice(split(text), 1, n))`` without running the
+    tokenizer.  Passing this as the ``doclen`` statistics table removes a
+    full corpus re-tokenization from every BM25 composition subtree
+    (guide §2.3: shuffle/compute metadata, not payloads); equivalence is
+    oracle-checked hash-exact at every SF."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(f"size(slice(split(text, ' '), 1, {n_tokens}))").alias("dl"),
+    )
+
+
 def _match(spark, sf_dir, query, slop, dtype=np.float32, **params):
     # payload-only scoring (include_span_score=False) unless a query
     # explicitly exercises the composed reference-default ranking
     params.setdefault("include_span_score", False)
-    toks = _tokens(spark, sf_dir)
+    # candidate prefilter at the scan: only docs that can possibly match
+    # reach the record projection / Python tokenizer.  Skipped for
+    # composed scoring (corpus statistics are defined over every doc).
+    where = None
+    if not params.get("include_span_score"):
+        slots = (
+            [query]
+            if isinstance(query, str) and " " not in query
+            else (query.split() if isinstance(query, str) else list(query))
+        )
+        where = _contains_probe(slots)
+    toks = _tokens(spark, sf_dir, where=where)
+    # ``lattice_tokenize`` emits each document's rows contiguous and
+    # position-sorted within one partition, so the matcher's doc_id
+    # exchange + sort are redundant here: assume_doc_clustered fuses
+    # tokenize → candidate filter → span DP into ONE zero-shuffle stage
+    # (Exchange+Sort → nothing on the payload path; guide §2.4).
     return match_lattice_tokens(
         toks,
         query,
         LatticeConfig(),
         MatchLatticeParams(slop=slop, **params),
         dtype=dtype,
+        assume_doc_clustered=True,
     )
 
 
@@ -671,8 +740,11 @@ transform(
 """
 
 
-def _audio_lattice_docs(spark, sf_dir):
+def _audio_lattice_docs(spark, sf_dir, where=None):
     docs = _read(spark, sf_dir, "documents")
+    if where is not None:
+        docs = docs.filter(where)
+    docs = _par(docs, spark)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.expr(
@@ -725,13 +797,17 @@ FROM incs
 
 
 def q_match_buckets_score(spark, sf_dir):
-    toks = _tokens(spark, sf_dir, score_buckets=(0.7, 3, 0.4, 2))
+    toks = _tokens(
+        spark, sf_dir, where=_contains_probe(["group"]),
+        score_buckets=(0.7, 3, 0.4, 2),
+    )
     hits = match_lattice_tokens(
         toks,
         "group",
         LatticeConfig(score_buckets=(0.7, 3, 0.4, 2)),
         MatchLatticeParams(slop=0, include_span_score=False),
         dtype=np.float64,
+        assume_doc_clustered=True,
     )
     return hits.select(
         "doc_id",
@@ -758,12 +834,13 @@ FROM reps GROUP BY doc_id
 
 
 def q_match_unordered_2(spark, sf_dir):
-    toks = _tokens(spark, sf_dir)
+    toks = _tokens(spark, sf_dir, where=_contains_probe(["small", "key"]))
     hits = match_lattice_tokens(
         toks,
         "small key",
         LatticeConfig(),
         MatchLatticeParams(slop=3, in_order=False, include_span_score=False),
+        assume_doc_clustered=True,
     )
     return hits.select("doc_id")
 
@@ -887,10 +964,31 @@ def q_match_span_score(spark, sf_dir):
     """A7: the reference-DEFAULT ranking — include_span_score=True
     multiplies the engine-native BM25 similarity into the payload score
     (LatticePayloadScoreQuery.java:333-339).  Components are rounded
-    before the product so the DuckDB recomputation is bit-deterministic."""
-    hits = _match(
-        spark, sf_dir, "table", slop=0, dtype=np.float64,
-        include_span_score=True,
+    before the product so the DuckDB recomputation is bit-deterministic.
+
+    Physical shape (r06): the BM25 composition references the token table
+    from three subtrees (span DP, tf, df) and needed a fourth for doclen —
+    each one re-ran the Python tokenize stage.  Now doclen is a pure-JVM
+    projection (``_doclen_jvm``) and the candidate postings (the
+    ``token = 'table'`` filter output, O(matching tokens) rows) are
+    persisted once and feed all three subtrees: ONE tokenize execution
+    per run instead of four.  Same operators, same floats — the persisted
+    frame is an intra-query intermediate, recomputed from parquet on
+    every invocation."""
+    toks = _tokens(spark, sf_dir, where=_contains_probe(["table"]))
+    cand = (
+        toks.filter(F.col("token").isin(["table"]))
+        .select("doc_id", "token", "abs_pos", "score", "seq")
+        .persist()
+    )
+    hits = match_lattice_tokens(
+        cand,
+        "table",
+        LatticeConfig(),
+        MatchLatticeParams(slop=0, include_span_score=True),
+        dtype=np.float64,
+        doclen=_doclen_jvm(spark, sf_dir),
+        assume_doc_clustered=True,
     )
     return hits.select(
         "doc_id",
@@ -980,12 +1078,18 @@ def q_match_audio_seconds(spark, sf_dir):
     )
     from full_lattice_search_spark.functions.tokenizer import lattice_tokenize
 
-    toks = lattice_tokenize(_audio_lattice_docs(spark, sf_dir), cfg)
+    toks = lattice_tokenize(
+        _audio_lattice_docs(
+            spark, sf_dir, where=_contains_probe(["hash", "merge"])
+        ),
+        cfg,
+    )
     hits = match_lattice_tokens(
         toks,
         "hash merge",
         cfg,
         MatchLatticeParams(slop_seconds=2.0, include_span_score=False),
+        assume_doc_clustered=True,
     )
     return hits.select(
         "doc_id", F.col("n_spans").cast("long").alias("n_spans")
@@ -1020,7 +1124,10 @@ def q_match_null_payload(spark, sf_dir):
     from full_lattice_search_spark.functions.tokenizer import lattice_tokenize
     from full_lattice_search_spark.operators.match import match_lattice_tokens
 
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _par(
+        _read(spark, sf_dir, "documents").filter(_contains_probe(["table"])),
+        spark,
+    ).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.expr(
             "array(named_struct("
@@ -1037,6 +1144,7 @@ def q_match_null_payload(spark, sf_dir):
         LatticeConfig(),
         MatchLatticeParams(slop=0, include_span_score=False),
         dtype=np.float64,
+        assume_doc_clustered=True,
     )
     return hits.select(
         "doc_id",
@@ -1062,12 +1170,13 @@ def q_match_snippets(spark, sf_dir):
     text (explain arrays + one doc_id-equi range join)."""
     from full_lattice_search_spark.operators.match import match_snippets
 
-    toks = _tokens(spark, sf_dir)
+    toks = _tokens(spark, sf_dir, where=_contains_probe(["hash", "merge"]))
     snip = match_snippets(
         toks,
         "hash merge",
         LatticeConfig(),
         MatchLatticeParams(slop=5, include_span_score=False),
+        assume_doc_clustered=True,
     )
     return snip.select(
         "doc_id",
@@ -1112,12 +1221,20 @@ def q_match_many(spark, sf_dir):
     co-located postings."""
     from full_lattice_search_spark.operators.match import match_lattice_many
 
-    toks = _tokens(spark, sf_dir)
+    # prefilter: a doc can contribute only if it can match >= 1 standing
+    # query — OR over the queries' slot-AND probes (superset; guide §3.2)
+    probe = (
+        _contains_probe(["hash", "merge"])
+        | _contains_probe(["key", "order", "data"])
+        | _contains_probe(["table"])
+    )
+    toks = _tokens(spark, sf_dir, where=probe)
     hits = match_lattice_many(
         toks,
         [("q_hm", "hash merge"), ("q_kod", "key order data"), ("q_t", "table")],
         LatticeConfig(),
         MatchLatticeParams(slop=8, include_span_score=False),
+        assume_doc_clustered=True,
     )
     return hits.select(
         "query_id", "doc_id", F.col("n_spans").cast("long").alias("n_spans")
@@ -1153,7 +1270,11 @@ def q_match_many_multi(spark, sf_dir):
     span DP."""
     from full_lattice_search_spark.operators.match import match_lattice_many
 
-    toks = _tokens(spark, sf_dir)
+    probe = (
+        _contains_probe([["hash", "key"], ["merge", "order"]])
+        | _contains_probe(["table"])
+    )
+    toks = _tokens(spark, sf_dir, where=probe)
     hits = match_lattice_many(
         toks,
         [
@@ -1162,6 +1283,7 @@ def q_match_many_multi(spark, sf_dir):
         ],
         LatticeConfig(),
         MatchLatticeParams(slop=5, include_span_score=False),
+        assume_doc_clustered=True,
     )
     return hits.select(
         "query_id", "doc_id", F.col("n_spans").cast("long").alias("n_spans")
@@ -1357,13 +1479,15 @@ GROUP BY doc_id
 
 
 def q_match_phrase_prefix(spark, sf_dir):
-    toks = _tokens(spark, sf_dir)
+    # 'mer' probes as a plain substring: superset of startswith-'mer' tokens
+    toks = _tokens(spark, sf_dir, where=_contains_probe(["hash", "mer"]))
     hits = match_lattice_tokens(
         toks,
         "hash mer",
         LatticeConfig(),
         MatchLatticeParams(slop=5, include_span_score=False),
         phrase_prefix=True,
+        assume_doc_clustered=True,
     )
     return hits.select("doc_id", F.col("n_spans").cast("long").alias("n_spans"))
 
@@ -1389,8 +1513,19 @@ FROM c2 WHERE m - p1 - 1 <= 5 GROUP BY doc_id
 def q_bm25(spark, sf_dir):
     from full_lattice_search_spark.operators.bm25 import bm25_scores
 
-    toks = _tokens(spark, sf_dir)
-    return bm25_scores(toks, ["table", "stream"], round_to=6)
+    # doclen as a JVM projection + one persisted candidate-postings frame
+    # feeding both the tf and df aggregations: one tokenize execution
+    # instead of three (see q_match_span_score)
+    toks = _tokens(spark, sf_dir, where=_contains_probe([["table", "stream"]]))
+    cand = (
+        toks.filter(F.col("token").isin(["table", "stream"]))
+        .select("doc_id", "token")
+        .persist()
+    )
+    return bm25_scores(
+        cand, ["table", "stream"], round_to=6,
+        doclen=_doclen_jvm(spark, sf_dir),
+    )
 
 
 SQL_BM25 = f"""
@@ -1799,7 +1934,9 @@ WHERE round({_SQL_COS.format(a="a.embedding", b="b.embedding")}, 4) >= 0.995
 def q_ann_bruteforce(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     query = emb.orderBy("vec_id").limit(1)
-    return brute_force_topk(emb, query, k=10)
+    # the per-row cosine fold is interpreted HOF work in the scan stage;
+    # spread the unsplittable single-file corpus scan first (guide §2)
+    return brute_force_topk(_par(emb, spark), query, k=10)
 
 
 SQL_ANN_BRUTEFORCE = f"""

@@ -81,15 +81,29 @@ def test_ann_query_broadcasts(spark):
 
 
 def test_extract_direct_path_has_no_exchange(spark):
-    """The whole-doc extraction path must be shuffle-free."""
+    """The whole-doc extraction path must be shuffle-free apart from the
+    scan-parallelism guard: a single-file corpus is ONE unsplittable input
+    split, so ``lattice_docs`` round-robin-repartitions the raw rows below
+    every heavy projection (r06).  No hash/range exchange may appear, and
+    the guard must no-op when the scan already provisions the cores."""
     from full_lattice_search_spark.operators.extract import extract_spans
-
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    from full_lattice_search_spark.plans.lattice_view import lattice_docs
+    from full_lattice_search_spark.plans.lattice_view import (
+        lattice_docs,
+        scan_parallel,
+    )
 
     out = extract_spans(lattice_docs(spark, "/root/testdata/sf0.001"))
     plan = plan_of(out)
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # at most the guard
+
+    # guard no-ops on an already-parallel input (the at-scale shape)
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).repartition(par)
+    assert scan_parallel(docs, spark) is docs
 
 
 def test_docscan_prefilter_single_probe(spark):
@@ -178,3 +192,33 @@ def test_every_registered_query_is_arrow_only_and_cartesian_free(spark):
         plan = plan_of(fn(spark, sf))
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_exact_rerank_broadcast_join_constant_plan(spark):
+    """r06: the rerank refine stage must broadcast-join the query frame
+    (O(1) plan size in the batch width), not build a per-query CaseWhen
+    chain of literal vectors — Catalyst analysis choked on chains at a
+    few thousand queries.  300 queries is far past where the old chain
+    was already pathological, and analyzes instantly as a join."""
+    from pyspark.sql import Row
+
+    from full_lattice_search_spark.operators.similarity import _exact_rerank
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q_rows = [
+        Row(query_id=i, qvec=[1.0, float(i % 7), 0.25, 0.125])
+        for i in range(300)
+    ]
+    short = spark.createDataFrame(
+        [(r.query_id, v) for r in q_rows for v in (1, 2, 3)],
+        "query_id long, vec_id long",
+    )
+    out = _exact_rerank(short, q_rows, emb, k=2)
+    plan = plan_of(out)
+    assert "CaseWhen" not in plan, plan[:2000]
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # 3 shortlist rows per query, k=2 survivors
+    assert out.count() == 600

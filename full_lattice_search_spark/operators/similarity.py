@@ -126,20 +126,26 @@ def brute_force_topk(
     """Exact top-k by cosine for each query row.  ``query`` is expected to
     be small → broadcast; the corpus is scanned once, no shuffle besides
     the final top-k merge."""
+    # the query norm is constant per query row: compute it ONCE on the
+    # broadcast side instead of re-folding the interpreted HOF per corpus
+    # row (r06; identical IEEE ops — same fold over the same array, same
+    # multiply order — so cosines are bit-identical, oracle-checked)
     q = F.broadcast(
         query.select(
             F.col(id_col).cast("long").alias("query_id"),
             F.col(vec_col).alias("qvec"),
-        )
+        ).withColumn("qnorm", F.expr(_NORM.format(a="qvec")))
     )
     corpus = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("vec")
     )
     scored = corpus.crossJoin(q).filter(F.col("vec_id") != F.col("query_id"))
+    dot = _DOT.format(a="vec", b="qvec")
+    nv = _NORM.format(a="vec")
     scored = scored.select(
         "query_id",
         "vec_id",
-        F.round(cosine_col("vec", "qvec"), 4).alias("cosine"),
+        F.round(F.expr(f"({dot}) / (({nv}) * qnorm)"), 4).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -249,20 +255,28 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Blocked cosine near-duplicate pairs (exact within blocks)."""
+    # per-VECTOR norms are computed below the self-join (O(n) folds), not
+    # per pair (O(pairs)) — same fold over the same array and the same
+    # multiply order, so cosines are bit-identical (r06)
     base = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(block_col).alias("blk"),
         F.col(vec_col).alias("vec"),
-    )
+    ).withColumn("nrm", F.expr(_NORM.format(a="vec")))
     a = base.alias("a")
     b = base.alias("b")
+    dot = _DOT.format(a="a.vec", b="b.vec")
     pairs = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.round(cosine_col("a.vec", "b.vec"), 4).alias("cosine"),
+        F.round(
+            F.expr(f"({dot})").alias("dot")
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            4,
+        ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
 

@@ -44,7 +44,9 @@ transform(
 _RECORDS_EXPR = records_expr()
 
 
-def scan_parallel(df: DataFrame, spark: SparkSession) -> DataFrame:
+def scan_parallel(
+    df: DataFrame, spark: SparkSession, size_path: str | None = None
+) -> DataFrame:
     """Scale-adaptive scan-parallelism guard (optimization guide §2/§6):
     a small single-file parquet table is ONE unsplittable input split (one
     row group), so every row-wise derivation downstream — the interpreted
@@ -53,8 +55,36 @@ def scan_parallel(df: DataFrame, spark: SparkSession) -> DataFrame:
     under-provisions the cores, round-robin repartition the RAW rows (a
     few-MB exchange) so the expensive projections run after it, cluster-
     wide.  At scale the input has >= parallelism splits and this is a
-    no-op — the guard is derived from the data, not tuned to local[32]."""
+    no-op — the guard is derived from the data, not tuned to local[32].
+
+    ``size_path``: optional filesystem path of the scanned parquet.  When
+    given, the under-provisioned check is pure local arithmetic — Spark's
+    split packing yields >= parallelism splits whenever the input exceeds
+    openCostInBytes (4 MB) x parallelism, so anything smaller gets the
+    guard.  Without it the check falls back to ``df.rdd`` partition
+    counting, which costs a planning round-trip per query construction
+    (~50-70 ms of py4j on this host — measurable inside a timed bench
+    lambda)."""
+    import os
+
     n = spark.sparkContext.defaultParallelism
+    if size_path is not None:
+        try:
+            size = (
+                os.path.getsize(size_path)
+                if os.path.isfile(size_path)
+                else sum(
+                    os.path.getsize(os.path.join(size_path, f))
+                    for f in os.listdir(size_path)
+                    if not f.startswith((".", "_"))
+                )
+            )
+        except OSError:
+            size = None
+        if size is not None:
+            if size < (4 << 20) * n:
+                return df.repartition(n)
+            return df
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
@@ -76,10 +106,11 @@ def lattice_docs(
     (guide §3.2: drop definitely-non-matching rows before moving/deriving
     them).  Callers must pass a superset predicate (e.g. a lowercase
     substring probe per query term) so results are unchanged."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(path)
     if where is not None:
         docs = docs.filter(where)
-    docs = scan_parallel(docs, spark)
+    docs = scan_parallel(docs, spark, size_path=path)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.expr(

@@ -69,12 +69,14 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _par(df: DataFrame, spark: SparkSession) -> DataFrame:
+def _par(
+    df: DataFrame, spark: SparkSession, size_path: str | None = None
+) -> DataFrame:
     """Scan-parallelism guard for row-wise-heavy derivations over small
     unsplittable tables (see plans/lattice_view.scan_parallel)."""
     from full_lattice_search_spark.plans.lattice_view import scan_parallel
 
-    return scan_parallel(df, spark)
+    return scan_parallel(df, spark, size_path=size_path)
 
 
 def _tokens(
@@ -744,7 +746,7 @@ def _audio_lattice_docs(spark, sf_dir, where=None):
     docs = _read(spark, sf_dir, "documents")
     if where is not None:
         docs = docs.filter(where)
-    docs = _par(docs, spark)
+    docs = _par(docs, spark, size_path=f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.expr(
@@ -1127,6 +1129,7 @@ def q_match_null_payload(spark, sf_dir):
     docs = _par(
         _read(spark, sf_dir, "documents").filter(_contains_probe(["table"])),
         spark,
+        size_path=f"{sf_dir}/documents.parquet",
     ).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.expr(
@@ -1936,7 +1939,10 @@ def q_ann_bruteforce(spark, sf_dir):
     query = emb.orderBy("vec_id").limit(1)
     # the per-row cosine fold is interpreted HOF work in the scan stage;
     # spread the unsplittable single-file corpus scan first (guide §2)
-    return brute_force_topk(_par(emb, spark), query, k=10)
+    return brute_force_topk(
+        _par(emb, spark, size_path=f"{sf_dir}/embeddings.parquet"), query,
+        k=10,
+    )
 
 
 SQL_ANN_BRUTEFORCE = f"""

@@ -273,9 +273,7 @@ def embedding_dup_pairs(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         F.round(
-            F.expr(f"({dot})").alias("dot")
-            / (F.col("a.nrm") * F.col("b.nrm")),
-            4,
+            F.expr(f"({dot})") / (F.col("a.nrm") * F.col("b.nrm")), 4
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)

@@ -438,6 +438,22 @@ min-of-13 on quiet days).
 
 Headline single-level numbers live in BENCH_r{{N}}.json (driver-run
 `bench.py`).
+
+## Round-6: official min-of-N CONFIRMS the target
+
+A focused load-gated 8→32 session (SPARK_GRAFT_MAX_LOAD=2.0, three
+interleaved rounds, minima merged into the cross-session accumulation —
+now min-of-16 rounds over 4+ sessions) finally caught quiet windows at
+the 32-level under the off-heap config: 32-level compute min 3.88 s
+(was 5.62), 8-level 9.03 s (was 10.44), kernel-calibration minima
+2.20 s / 0.83 s.  The OFFICIAL tables above now read hw-normalized
+**0.875 (compute) / 0.804 (write) ≥ 0.8** on the headline pair — the
+round-5 paired-A/B estimate (0.814) is confirmed by the min-of-N
+protocol, closing the last `weak` item.  (The job measured here is
+byte-identical to round 5's — the worker calls `extract_spans` on its
+own materialized corpus directly, which round 6 did not touch — so
+merging these minima with the earlier sessions compares like with
+like.)
 """
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     # preserve non-scaling sections other scripts append (ANN recall

@@ -439,21 +439,36 @@ min-of-13 on quiet days).
 Headline single-level numbers live in BENCH_r{{N}}.json (driver-run
 `bench.py`).
 
-## Round-6: official min-of-N CONFIRMS the target
+## Round-6: official min-of-N confirms the COMPUTE target
 
-A focused load-gated 8→32 session (SPARK_GRAFT_MAX_LOAD=2.0, three
-interleaved rounds, minima merged into the cross-session accumulation —
-now min-of-16 rounds over 4+ sessions) finally caught quiet windows at
-the 32-level under the off-heap config: 32-level compute min 3.88 s
-(was 5.62), 8-level 9.03 s (was 10.44), kernel-calibration minima
-2.20 s / 0.83 s.  The OFFICIAL tables above now read hw-normalized
-**0.875 (compute) / 0.804 (write) ≥ 0.8** on the headline pair — the
-round-5 paired-A/B estimate (0.814) is confirmed by the min-of-N
-protocol, closing the last `weak` item.  (The job measured here is
-byte-identical to round 5's — the worker calls `extract_spans` on its
-own materialized corpus directly, which round 6 did not touch — so
-merging these minima with the earlier sessions compares like with
-like.)
+Two focused load-gated 8→32 sessions (SPARK_GRAFT_MAX_LOAD≈2, three
+interleaved rounds each, minima merged into the cross-session
+accumulation — now min-of-19 rounds over 5+ sessions) finally caught
+quiet windows at the 32-level under the off-heap config: 32-level
+compute min 5.62 → 3.59 s, 8-level 10.44 → 8.73 s, and the
+kernel-calibration minima deepened in step (2.49 → 2.35 s at 8,
+0.93 → 0.83 s at 32, ceiling 2.85×).
+
+**Extraction compute: hw-normalized 0.854 ≥ 0.8 under the official
+min-of-N protocol** — the round-5 paired-A/B estimate (0.814, speedup
+2.414×) is confirmed and slightly exceeded (2.434×), closing the last
+`weak` item for the computation itself.
+
+**Extraction + write sits at 0.718** and is disclosed rather than
+tuned around: the 32-level write adds a ~0.9 s constant over its
+compute (parquet task-commit of cpus/2 files) vs ~0.5 s at the
+8-level, an overhead that does not shrink with cores and is absent
+from the pure-compute kernel denominator — as the compute minima
+deepen, the normalized WRITE ratio mechanically falls even while the
+write wall time improves (4.54 → 4.51 s this round).  At the 100 TB
+design point tasks write ≥128 MB files and per-file commit amortizes
+to noise (the coalesce note above), so the compute row is the
+scaling-relevant one; both rows' raw numbers are reported unchanged.
+
+(The job measured here is byte-identical to round 5's — the worker
+calls `extract_spans` on its own materialized corpus directly, which
+round 6 did not touch — so merging these minima with the earlier
+sessions compares like with like.)
 """
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     # preserve non-scaling sections other scripts append (ANN recall
